@@ -1,0 +1,299 @@
+"""Host-side inverted hash index (the canonical table + .pklz persistence).
+
+Behavioral spec: SURVEY.md §2.3.4 (reference hash_table.py).  State:
+
+  table:       uint32[(1 << hashbits), depth]    entry = (id << maxtimebits) | t
+  counts:      int32[1 << hashbits]              true insertion pressure/bucket
+  names:       list[str|None]                    id -> filename
+  hashesperid: int64[n_ids]                      hashes attempted per id
+  params:      dict                              analyzer compat check on load
+
+The store uses reservoir sampling past `depth` like the reference
+(hash_table.py:~120-180) but with the deterministic keyed PRNG from
+`audfprint_tpu.utils.prng` instead of Python's `random` (documented divergence;
+identical behavior below overflow — SURVEY §7 "Hard parts").
+
+This class is simultaneously the *oracle* for the device-resident table in
+`audfprint_tpu.index.device_table`: both must produce bit-identical tables for
+the same insertion stream.
+
+Persistence: `.pklz` = gzip-pickled plain-dict snapshot (the reference
+gzip-pickles its class instance, hash_table.py:~250-330; a plain dict keeps
+the format loadable without this module's class path).
+"""
+
+from __future__ import annotations
+
+import gzip
+import pickle
+
+import numpy as np
+
+from audfprint_tpu import params as P
+from audfprint_tpu.utils import prng
+
+HT_VERSION = 20260816
+HT_COMPAT_VERSION = 20260816
+
+
+class HashTable:
+    def __init__(self, filename: str | None = None,
+                 hashbits: int = P.TABLE_HASHBITS,
+                 depth: int = P.TABLE_DEPTH,
+                 maxtime: int = P.TABLE_MAXTIME,
+                 seed: int = 0):
+        if filename is not None:
+            self.load(filename)
+            return
+        self.hashbits = hashbits
+        self.depth = depth
+        assert maxtime & (maxtime - 1) == 0, "maxtime must be a power of 2"
+        self.maxtime = maxtime
+        self.maxtimebits = int(np.log2(maxtime))
+        self.seed = seed
+        self.table = np.zeros((1 << hashbits, depth), dtype=np.uint32)
+        self.counts = np.zeros(1 << hashbits, dtype=np.int32)
+        self.names: list = []
+        self.hashesperid = np.zeros(0, dtype=np.int64)
+        self.params: dict = {}
+        self.ht_version = HT_VERSION
+        self.dirty = False
+
+    # -- id management ------------------------------------------------------
+
+    def name_to_id(self, name, add_if_missing: bool = False) -> int:
+        if isinstance(name, (int, np.integer)):
+            return int(name)
+        try:
+            return self.names.index(name)
+        except ValueError:
+            if not add_if_missing:
+                raise
+            self.names.append(name)
+            self.hashesperid = np.append(self.hashesperid, 0)
+            return len(self.names) - 1
+
+    # -- store / retrieve ---------------------------------------------------
+
+    def store(self, name, timehashpairs) -> None:
+        """Sequential reference-faithful store (hash_table.py:~120-180)."""
+        id_ = self.name_to_id(name, add_if_missing=True)
+        hashmask = (1 << self.hashbits) - 1
+        timemask = self.maxtime - 1
+        idval = id_ << self.maxtimebits
+        for time_, hash_ in np.asarray(timehashpairs).reshape(-1, 2):
+            hash_ = int(hash_) & hashmask
+            time_ = int(time_) & timemask
+            count = int(self.counts[hash_])
+            if count < self.depth:
+                self.table[hash_, count] = idval + time_
+            else:
+                slot = int(prng.reservoir_slot(hash_, count, self.seed))
+                if slot < self.depth:
+                    self.table[hash_, slot] = idval + time_
+            self.counts[hash_] = count + 1
+        self.hashesperid[id_] += len(timehashpairs)
+        self.dirty = True
+
+    def store_vectorized(self, name, timehashpairs) -> None:
+        """Vectorized host store, bit-identical to `store`.
+
+        Sorts by bucket (stable), ranks entries within each bucket run, and
+        resolves reservoir slots + within-batch collisions (last write wins,
+        matching sequential order) before a single scatter.  This is the same
+        algorithm the on-device store kernel uses (SURVEY §7 layer 3).
+        """
+        id_ = self.name_to_id(name, add_if_missing=True)
+        pairs = np.asarray(timehashpairs, dtype=np.int64).reshape(-1, 2)
+        n = len(pairs)
+        if n == 0:
+            self.hashesperid[id_] += 0
+            self.dirty = True
+            return
+        hashmask = (1 << self.hashbits) - 1
+        timemask = self.maxtime - 1
+        h = pairs[:, 1] & hashmask
+        t = pairs[:, 0] & timemask
+        entry = ((id_ << self.maxtimebits) | t).astype(np.uint32)
+        # stable sort by bucket keeps arrival order within a bucket
+        order = np.argsort(h, kind="stable")
+        hs, es = h[order], entry[order]
+        # rank of each element within its bucket run
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        run_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        rank = np.arange(n) - run_start
+        pos = self.counts[hs] + rank            # insertion position
+        slot = np.where(
+            pos < self.depth, pos,
+            prng.reservoir_slot(hs, np.maximum(pos, self.depth), self.seed))
+        write = slot < self.depth
+        # within-batch collisions on (bucket, slot): keep the LAST (sequential
+        # semantics).  np scatter with duplicate indices keeps the last in
+        # index order, and (hs, slot) pairs are in arrival order here.
+        self.table[hs[write], slot[write]] = es[write]
+        np.add.at(self.counts, hs, 1)
+        self.hashesperid[id_] += n
+        self.dirty = True
+
+    def get_entry(self, hash_) -> np.ndarray:
+        """(id, time) rows currently stored for one hash."""
+        hash_ = int(hash_) & ((1 << self.hashbits) - 1)
+        nids = min(self.depth, int(self.counts[hash_]))
+        vals = self.table[hash_, :nids].astype(np.int64)
+        return np.stack([vals >> self.maxtimebits,
+                         vals & (self.maxtime - 1)], axis=1)
+
+    def get_hits(self, hashes) -> np.ndarray:
+        """Query rows (time, hash) -> hit rows (id, dt, hash, qtime), int32.
+
+        Reference hash_table.py:~190-240: per query hash, its stored entries
+        in slot order; dt = stored_time - qtime (may be negative; mod-maxtime
+        wrap tolerated).
+        """
+        hashes = np.asarray(hashes).reshape(-1, 2)
+        hashmask = (1 << self.hashbits) - 1
+        timemask = self.maxtime - 1
+        qh = hashes[:, 1].astype(np.int64) & hashmask
+        qt = hashes[:, 0].astype(np.int64)
+        nids = np.minimum(self.depth, self.counts[qh])        # (n,)
+        tab = self.table[qh].astype(np.int64)                 # (n, depth)
+        valid = np.arange(self.depth)[None, :] < nids[:, None]
+        ids = tab >> self.maxtimebits
+        dts = (tab & timemask) - qt[:, None]
+        out = np.stack([ids, dts,
+                        np.broadcast_to(qh[:, None], tab.shape),
+                        np.broadcast_to(qt[:, None], tab.shape)], axis=2)
+        return out[valid].astype(np.int32)
+
+    def totalhashes(self) -> int:
+        return int(np.sum(np.minimum(self.counts, self.depth)))
+
+    # -- maintenance --------------------------------------------------------
+
+    def merge(self, other: "HashTable") -> None:
+        """Combine another table into this one (hash_table.py:~340-400).
+
+        Other's ids are offset by len(self.names); other's *stored* entries
+        are replayed through the reservoir continuing from self's counts, then
+        counts are set to the combined true insertion pressure.
+        """
+        if (other.hashbits != self.hashbits or other.depth != self.depth
+                or other.maxtime != self.maxtime):
+            raise ValueError("hash table parameter mismatch in merge")
+        self._check_params_compat(other.params)
+        idoffset = len(self.names)
+        self.names.extend(other.names)
+        self.hashesperid = np.concatenate([self.hashesperid, other.hashesperid])
+        idoffsetval = np.uint32(idoffset << self.maxtimebits)
+        for h in np.nonzero(other.counts)[0]:
+            nstored = min(other.depth, int(other.counts[h]))
+            count = int(self.counts[h])
+            for e in other.table[h, :nstored]:
+                e = np.uint32(e + idoffsetval)
+                if count < self.depth:
+                    self.table[h, count] = e
+                else:
+                    slot = int(prng.reservoir_slot(h, count, self.seed))
+                    if slot < self.depth:
+                        self.table[h, slot] = e
+                count += 1
+            # true combined pressure, as the reference records
+            self.counts[h] = int(self.counts[h]) + int(other.counts[h])
+        if not self.params and other.params:
+            self.params = dict(other.params)
+        self.dirty = True
+
+    def remove(self, name) -> None:
+        """Delete all entries for `name`, compacting buckets (O(table))."""
+        id_ = self.name_to_id(name)
+        id_arr = (self.table >> self.maxtimebits).astype(np.int64)
+        keep = id_arr != id_
+        # also treat slots beyond stored count as non-entries
+        stored = np.minimum(self.counts, self.depth)[:, None]
+        in_use = np.arange(self.depth)[None, :] < stored
+        keep &= in_use
+        for h in np.nonzero((~keep & in_use).any(axis=1))[0]:
+            vals = self.table[h][keep[h]]
+            self.table[h] = 0
+            self.table[h, : len(vals)] = vals
+            self.counts[h] = len(vals)
+        self.names[id_] = None
+        self.hashesperid[id_] = 0
+        self.dirty = True
+
+    def list(self, print_fn=None) -> list:
+        print_fn = print_fn or print
+        msgs = []
+        for i, name in enumerate(self.names):
+            if name is None:
+                continue
+            msg = f"{name} ({int(self.hashesperid[i])} hashes)"
+            print_fn(msg)
+            msgs.append(msg)
+        return msgs
+
+    def reset(self) -> None:
+        self.table[:] = 0
+        self.counts[:] = 0
+        self.names = []
+        self.hashesperid = np.zeros(0, dtype=np.int64)
+        self.dirty = True
+
+    # -- persistence --------------------------------------------------------
+
+    def _check_params_compat(self, other_params: dict) -> None:
+        for key in ("density", "samplerate", "n_fft", "n_hop"):
+            if (key in self.params and key in other_params
+                    and self.params[key] != other_params[key]):
+                raise ValueError(
+                    f"analyzer param mismatch: {key}: "
+                    f"{self.params[key]} vs {other_params[key]}")
+
+    def save(self, name: str, params: dict | None = None,
+             file_object=None) -> None:
+        if params:
+            self.params.update(params)
+        state = {
+            "ht_version": self.ht_version,
+            "hashbits": self.hashbits,
+            "depth": self.depth,
+            "maxtime": self.maxtime,
+            "seed": self.seed,
+            "table": self.table,
+            "counts": self.counts,
+            "names": self.names,
+            "hashesperid": self.hashesperid,
+            "params": self.params,
+        }
+        f = file_object or gzip.open(name, "wb")
+        try:
+            pickle.dump(state, f, protocol=4)
+        finally:
+            if file_object is None:
+                f.close()
+        self.dirty = False
+        nhashes = self.totalhashes()
+        nfiles = sum(1 for n in self.names if n is not None)
+        print(f"Saved fprints for {nfiles} files ({nhashes} hashes) to {name}")
+
+    def load(self, name: str) -> None:
+        with gzip.open(name, "rb") as f:
+            state = pickle.load(f)
+        if state["ht_version"] < HT_COMPAT_VERSION:
+            raise ValueError(
+                f"incompatible hash table version {state['ht_version']}")
+        self.ht_version = state["ht_version"]
+        self.hashbits = state["hashbits"]
+        self.depth = state["depth"]
+        self.maxtime = state["maxtime"]
+        self.maxtimebits = int(np.log2(self.maxtime))
+        self.seed = state.get("seed", 0)
+        self.table = state["table"]
+        self.counts = state["counts"]
+        self.names = state["names"]
+        self.hashesperid = state["hashesperid"]
+        self.params = state.get("params", {})
+        self.dirty = False
+        nhashes = self.totalhashes()
+        nfiles = sum(1 for n in self.names if n is not None)
+        print(f"Read fprints for {nfiles} files ({nhashes} hashes) from {name}")

@@ -1,0 +1,40 @@
+"""Test configuration: force CPU with 8 virtual devices so multi-chip
+sharding tests run without TPU hardware (SURVEY §4)."""
+
+import os
+
+# Must be set before jax is imported anywhere in the test process.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
+
+
+def synth_audio(rng, dur_sec=5.0, sr=11025, n_tones=24, noise=0.01):
+    """Deterministic music-like test signal: random tone bursts + noise."""
+    n = int(dur_sec * sr)
+    t = np.arange(n) / sr
+    x = noise * rng.standard_normal(n)
+    for _ in range(n_tones):
+        f = rng.uniform(80, 4000)
+        start = rng.uniform(0, max(dur_sec - 0.3, 0.05))
+        length = rng.uniform(0.1, 0.8)
+        seg = (t >= start) & (t < start + length)
+        env = np.hanning(int(seg.sum())) if seg.sum() > 1 else 1.0
+        x[seg] += rng.uniform(0.1, 0.5) * env * np.sin(
+            2 * np.pi * f * t[seg] + rng.uniform(0, 2 * np.pi))
+    return (x / max(1e-9, np.max(np.abs(x))) * 0.7).astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def audio_5s(rng):
+    return synth_audio(rng, dur_sec=5.0)
