@@ -1,0 +1,106 @@
+"""End-to-end fused fingerprint pipeline: audio batch -> sorted unique hashes.
+
+One jit-compiled graph per (batch shape, config): framing, |rfft|, whitening,
+HPF, fwd+bwd peak pruning, landmark pairing, 20-bit packing, per-file
+lexicographic sort + dedup (the reference's np.unique over (t, hash) rows,
+audfprint_analyze.py wavfile2hashes post-processing, SURVEY §2.3.3).
+
+Shifts (`--shifts S`) become a leading batch axis (SURVEY §2.2: "free
+vectorization"): each file row is expanded to S sub-hop-shifted rows, and the
+hash streams are re-merged per file before dedup.
+
+All shapes static; validity masks carry the ragged structure.  Sorting uses
+two int32 keys (lax.sort num_keys=2) instead of packed int64 — TPU-friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audfprint_tpu.ops import landmarks as L
+from audfprint_tpu.ops import peaks as PK
+from audfprint_tpu.ops import spectro as SP
+from audfprint_tpu.ops.config import PipelineConfig
+
+T_SENTINEL = np.int32(2**31 - 1)
+
+
+def frame_count_device(lengths: jax.Array, cfg: PipelineConfig) -> jax.Array:
+    return jnp.where(lengths >= cfg.n_fft,
+                     1 + (lengths - cfg.n_fft) // cfg.n_hop, 0).astype(jnp.int32)
+
+
+def _expand_shifts(audio: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
+    """(B, N) -> (B*S, N) sub-hop-shifted copies; rows grouped per file."""
+    S = cfg.shifts
+    if S <= 1:
+        return audio, lengths
+    B, N = audio.shape
+    padded = jnp.concatenate(
+        [audio, jnp.zeros((B, cfg.n_hop), audio.dtype)], axis=1)
+    rows, lens = [], []
+    for s in range(S):
+        off = s * cfg.n_hop // S
+        rows.append(jax.lax.dynamic_slice_in_dim(padded, off, N, axis=1))
+        lens.append(jnp.maximum(0, lengths - off))
+    # interleave so rows of one file are adjacent: (B, S, N) -> (B*S, N)
+    audio_s = jnp.stack(rows, axis=1).reshape(B * S, N)
+    lengths_s = jnp.stack(lens, axis=1).reshape(B * S)
+    return audio_s, lengths_s
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fingerprint_batch(audio: jax.Array, lengths: jax.Array,
+                      cfg: PipelineConfig):
+    """Fingerprint a padded batch of audio.
+
+    Args:
+      audio:   (B, N) float32, zero-padded past per-file lengths
+      lengths: (B,) int32 true sample counts
+
+    Returns:
+      times:  (B, L) int32 sorted unique (t, hash) rows' times
+      hashes: (B, L) int32
+      uniq:   (B, L) bool   validity mask (True rows are the output set)
+      counts: (B,) int32    number of unique hashes per file
+    """
+    B = audio.shape[0]
+    audio_s, lengths_s = _expand_shifts(
+        audio.astype(jnp.float32), lengths.astype(jnp.int32), cfg)
+    n_frames = frame_count_device(lengths_s, cfg)
+    sgram = SP.whitened_spectrogram(audio_s, n_frames, cfg)
+    mask = PK.find_peaks_mask(sgram, n_frames, cfg)
+    bins, valid = PK.mask_to_slots(mask, cfg)
+    times, hashes, lvalid = L.slots_to_hashes(bins, valid, cfg)
+
+    # flatten all shift rows of one file together, then sort + dedup
+    flat_t = times.reshape(B, -1)
+    flat_h = hashes.reshape(B, -1)
+    flat_v = lvalid.reshape(B, -1)
+    flat_t = jnp.where(flat_v, flat_t, T_SENTINEL)
+    flat_h = jnp.where(flat_v, flat_h, T_SENTINEL)
+    t_s, h_s = jax.lax.sort((flat_t, flat_h), dimension=1, num_keys=2)
+    valid_s = t_s != T_SENTINEL
+    neq = jnp.concatenate(
+        [jnp.ones((B, 1), bool),
+         (t_s[:, 1:] != t_s[:, :-1]) | (h_s[:, 1:] != h_s[:, :-1])], axis=1)
+    uniq = valid_s & neq
+    counts = jnp.sum(uniq, axis=1, dtype=jnp.int32)
+    return t_s, h_s, uniq, counts
+
+
+def fingerprint_numpy(audio_batch, lengths, cfg: PipelineConfig):
+    """Host convenience: run the device pipeline, return list of (n,2) int32
+    (t, hash) arrays (trimmed), matching oracle samples_to_hashes output."""
+    t_s, h_s, uniq, counts = fingerprint_batch(
+        jnp.asarray(audio_batch), jnp.asarray(lengths, dtype=jnp.int32), cfg)
+    t_s, h_s, uniq = np.asarray(t_s), np.asarray(h_s), np.asarray(uniq)
+    out = []
+    for b in range(t_s.shape[0]):
+        m = uniq[b]
+        out.append(np.stack([t_s[b][m], h_s[b][m]], axis=1).astype(np.int32))
+    return out
