@@ -114,7 +114,7 @@ def store_batch(table: jax.Array, counts: jax.Array,
     # last-wins on (bucket, slot): sort by (bucket, slot, ord) and keep the
     # row whose successor differs (sequential-store semantics).
     skey = jnp.where(write, slot, cfg.depth)
-    hs2, sk2, es2, ord2 = jax.lax.sort((hs, skey, es, ords), num_keys=3)
+    hs2, sk2, _ord2, es2 = jax.lax.sort((hs, skey, ords, es), num_keys=3)
     last = jnp.concatenate(
         [(hs2[1:] != hs2[:-1]) | (sk2[1:] != sk2[:-1]), jnp.ones((1,), bool)])
     do = last & (sk2 < cfg.depth) & (hs2 < cfg.n_buckets)
