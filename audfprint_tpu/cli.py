@@ -1,0 +1,337 @@
+"""Command-line interface: the reference's 8 subcommands + flag surface.
+
+Reference: audfprint.py (SURVEY §2.3.6 + Appendix A).  Same commands
+(new | add | precompute | merge | newmerge | match | list | remove), same
+flag names/defaults (argparse instead of docopt; note -h means --hashbits as
+in the reference, so use --help for help).
+
+Orchestration differences (TPU-native by design, SURVEY §2.2):
+  * ingest/match run *batched* on the device; `--ncores N` parallelizes host
+    decode with threads (there is no joblib process pool — the accelerator
+    replaces per-file process parallelism).
+  * The end-of-run throughput line keeps the reference's exact shape
+    ("Processed N files (D s total dur) in T s sec = R x RT",
+    audfprint.py:~470 [H]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from audfprint_tpu import params as P
+from audfprint_tpu.index.hash_table import HashTable
+from audfprint_tpu.match.matcher import Matcher
+from audfprint_tpu.models.analyzer import Analyzer
+from audfprint_tpu.utils import audio as audio_io
+from audfprint_tpu.utils import formats
+
+COMMANDS = ("new", "add", "precompute", "merge", "newmerge", "match",
+            "list", "remove")
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="audfprint_tpu", add_help=False,
+        description="TPU-native landmark audio fingerprinter "
+                    "(capabilities of dpwe/audfprint)")
+    p.add_argument("command", choices=COMMANDS)
+    p.add_argument("file", nargs="*")
+    p.add_argument("--help", action="help")
+    a = p.add_argument
+    a("-d", "--density", type=float, default=P.DENSITY)
+    a("-h", "--hashbits", type=int, default=P.TABLE_HASHBITS)
+    a("-b", "--bucketsize", type=int, default=P.TABLE_DEPTH)
+    a("-t", "--maxtime", type=int, default=P.TABLE_MAXTIME)
+    a("-u", "--maxtimebits", type=int, default=None)
+    a("-r", "--samplerate", type=int, default=P.TARGET_SR)
+    a("-p", "--dbase", type=str, default=None)
+    a("-o", "--opfile", type=str, default=None)
+    a("-F", "--fanout", type=int, default=P.MAX_PAIRS_PER_PEAK)
+    a("-P", "--pks-per-frame", dest="pks_per_frame", type=int,
+      default=P.MAX_PKS_PER_FRAME)
+    a("-S", "--shifts", type=int, default=0)
+    a("-B", "--freq-sd", dest="freq_sd", type=float, default=P.F_SD)
+    a("-D", "--search-depth", dest="search_depth", type=int,
+      default=P.SEARCH_DEPTH)
+    a("-w", "--match-win", dest="match_win", type=int, default=P.MATCH_WIN)
+    a("-N", "--min-count", dest="min_count", type=int, default=P.MIN_COUNT)
+    a("-x", "--max-matches", dest="max_matches", type=int,
+      default=P.MAX_MATCHES)
+    a("-X", "--exact-count", dest="exact_count", action="store_true")
+    a("-R", "--find-time-range", dest="find_time_range", action="store_true")
+    a("-Q", "--time-quantile", dest="time_quantile", type=float,
+      default=P.TIME_QUANTILE)
+    a("-T", "--sortbytime", action="store_true")
+    a("-i", "--ncores", type=int, default=1)
+    a("-K", "--precompute-peaks", dest="precompute_peaks",
+      action="store_true")
+    a("-k", "--skip-existing", dest="skip_existing", action="store_true")
+    a("-C", "--continue-on-error", dest="continue_on_error",
+      action="store_true")
+    a("-l", "--list", dest="listflag", action="store_true")
+    a("-W", "--wavdir", type=str, default="")
+    a("-V", "--wavext", type=str, default="")
+    a("--precompdir", type=str, default=".")
+    a("-I", "--illustrate", action="store_true")
+    a("-J", "--illustrate-hpf", dest="illustrate_hpf", action="store_true")
+    a("-v", "--verbose", type=int, default=1)
+    a("--batchsize", type=int, default=16,
+      help="files analyzed per device batch (TPU-native knob)")
+    return p
+
+
+def setup_analyzer(args) -> Analyzer:
+    return Analyzer(density=args.density,
+                    target_sr=args.samplerate,
+                    shifts=max(1, args.shifts),
+                    maxpksperframe=args.pks_per_frame,
+                    maxpairsperpeak=args.fanout,
+                    f_sd=args.freq_sd,
+                    fail_on_error=not args.continue_on_error)
+
+
+def setup_matcher(args) -> Matcher:
+    return Matcher(window=args.match_win,
+                   threshcount=args.min_count,
+                   max_returns=args.max_matches,
+                   search_depth=args.search_depth,
+                   exact_count=args.exact_count,
+                   find_time_range=args.find_time_range,
+                   time_quantile=args.time_quantile,
+                   sort_by_time=args.sortbytime,
+                   verbose=args.verbose,
+                   illustrate=args.illustrate,
+                   illustrate_hpf=args.illustrate_hpf)
+
+
+def filename_list_iterator(filelist, wavdir: str, wavext: str,
+                           listflag: bool):
+    """Expand CLI file args (reference filename_list_iterator):
+    --list makes each arg a file of filenames; --wavdir/--wavext prefix."""
+    if not listflag:
+        for name in filelist:
+            yield os.path.join(wavdir, name + wavext)
+    else:
+        for listfile in filelist:
+            with open(listfile) as f:
+                for line in f:
+                    name = line.rstrip("\n")
+                    if name:
+                        yield os.path.join(wavdir, name + wavext)
+
+
+def _new_table(args) -> HashTable:
+    maxtimebits = args.maxtimebits
+    maxtime = (1 << maxtimebits) if maxtimebits else args.maxtime
+    return HashTable(hashbits=args.hashbits, depth=args.bucketsize,
+                     maxtime=maxtime)
+
+
+def _check_params(ht: HashTable, analyzer: Analyzer, report) -> None:
+    """DB/analyzer param compat check (reference stores analyzer params in
+    the DB and validates on load/add — SURVEY §5 config row)."""
+    want = analyzer.params_dict()
+    for k, v in (ht.params or {}).items():
+        if k in want and want[k] != v:
+            report(f"Warning: database {k}={v} but analyzer {k}={want[k]}")
+
+
+def _decode_many(analyzer: Analyzer, names: list, ncores: int, report):
+    """Host-parallel decode (the QueueReaderThread/joblib analog)."""
+    def _one(name):
+        try:
+            d, _ = audio_io.audio_read(name, sr=analyzer.target_sr,
+                                       channels=1)
+            return d
+        except audio_io.DecodeError as e:
+            if analyzer.fail_on_error:
+                raise
+            report(f"Error reading {name}: {e}")
+            return None
+
+    if ncores > 1:
+        with ThreadPoolExecutor(max_workers=ncores) as ex:
+            return list(ex.map(_one, names))
+    return [_one(n) for n in names]
+
+
+def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
+              report) -> tuple[int, float]:
+    """Batched analyze + store; returns (n_files, total_dur)."""
+    tot_dur = 0.0
+    n_done = 0
+    B = max(1, args.batchsize)
+    for i in range(0, len(names), B):
+        chunk = names[i: i + B]
+        precomp = [n for n in chunk
+                   if os.path.splitext(n)[1] == formats.PRECOMPEXT]
+        wavs = [n for n in chunk if n not in precomp]
+        signals = _decode_many(analyzer, wavs, args.ncores, report)
+        good = [(n, d) for n, d in zip(wavs, signals) if d is not None]
+        if good:
+            hashes = analyzer.samples_batch2hashes([d for _, d in good])
+            for (name, d), h in zip(good, hashes):
+                ht.store_vectorized(name, h)
+                dur = len(d) / analyzer.target_sr
+                tot_dur += dur
+                n_done += 1
+                report(f"ingested #{n_done}: {name} "
+                       f"({dur:.1f} s, {len(h)} hashes)")
+        for name in precomp:
+            h = formats.hashes_load(name)
+            ht.store_vectorized(name, h)
+            dur = (float(h[:, 0].max()) * analyzer.n_hop / analyzer.target_sr
+                   if len(h) else 0.0)
+            tot_dur += dur
+            n_done += 1
+            report(f"ingested #{n_done}: {name} "
+                   f"({dur:.1f} s, {len(h)} hashes)")
+    return n_done, tot_dur
+
+
+def do_precompute(analyzer: Analyzer, names: list, args,
+                  report) -> tuple[int, float]:
+    tot_dur = 0.0
+    n_done = 0
+    ext = formats.PRECOMPPKEXT if args.precompute_peaks else formats.PRECOMPEXT
+    for name in names:
+        outname = os.path.splitext(name)[0] + ext
+        if args.precompdir not in ("", "."):
+            outname = os.path.join(args.precompdir,
+                                   os.path.normpath(outname).lstrip(os.sep))
+        if args.skip_existing and os.path.exists(outname):
+            report(f"skipping existing {outname}")
+            continue
+        os.makedirs(os.path.dirname(outname) or ".", exist_ok=True)
+        try:
+            if args.precompute_peaks:
+                peaks = analyzer.wavfile2peaks(name)
+                formats.peaks_save(outname, peaks)
+                nitems = len(peaks)
+            else:
+                hashes = analyzer.wavfile2hashes(name)
+                formats.hashes_save(outname, hashes)
+                nitems = len(hashes)
+        except audio_io.DecodeError as e:
+            if analyzer.fail_on_error:
+                raise
+            report(f"Error reading {name}: {e}")
+            continue
+        tot_dur += analyzer.soundfiledur
+        n_done += 1
+        report(f"wrote {outname} ( {nitems} hashes, "
+               f"{analyzer.soundfiledur:.1f} sec)")
+    return n_done, tot_dur
+
+
+def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
+             names: list, args, report) -> tuple[int, float]:
+    """Batched query matching."""
+    tot_dur = 0.0
+    n_done = 0
+    B = max(1, args.batchsize)
+    for i in range(0, len(names), B):
+        chunk = names[i: i + B]
+        hash_lists, durs = [], []
+        for name in chunk:
+            try:
+                h = analyzer.wavfile2hashes(name)
+            except audio_io.DecodeError as e:
+                if analyzer.fail_on_error:
+                    raise
+                report(f"Error reading {name}: {e}")
+                h = None
+            hash_lists.append(h)
+            durs.append(analyzer.soundfiledur)
+        ok = [(n, h, d) for n, h, d in zip(chunk, hash_lists, durs)
+              if h is not None]
+        if not ok:
+            continue
+        results = matcher.match_hashes_batch(ht, [h for _, h, _ in ok])
+        for (name, h, dur), rows in zip(ok, results):
+            for msg in matcher.results_to_msgs(rows, dur, len(h),
+                                               analyzer, ht, name):
+                report(msg)
+            tot_dur += dur
+            n_done += 1
+    return n_done, tot_dur
+
+
+def main(argv=None) -> int:
+    import audfprint_tpu.utils.jaxconfig as jaxconfig
+    jaxconfig.setup()
+
+    args = make_parser().parse_args(argv)
+    cmd = args.command
+    if args.shifts == 0:
+        args.shifts = 1
+
+    out_f = open(args.opfile, "w") if args.opfile else None
+
+    def report(msg: str) -> None:
+        if out_f is not None:
+            out_f.write(msg + "\n")
+        else:
+            print(msg)
+
+    analyzer = setup_analyzer(args)
+    matcher = setup_matcher(args)
+    t0 = time.time()
+    n_files, tot_dur = 0, 0.0
+
+    names = list(filename_list_iterator(
+        args.file, args.wavdir, args.wavext, args.listflag))
+
+    if cmd in ("new", "newmerge"):
+        ht = _new_table(args)
+    elif cmd in ("add", "match", "merge", "list", "remove"):
+        if not args.dbase:
+            print("a --dbase is required for " + cmd, file=sys.stderr)
+            return 2
+        ht = HashTable(args.dbase)
+    else:
+        ht = None
+
+    if cmd in ("new", "add"):
+        if cmd == "add":
+            _check_params(ht, analyzer, report)
+        n_files, tot_dur = do_ingest(ht, analyzer, names, args, report)
+        ht.save(args.dbase, params=analyzer.params_dict())
+    elif cmd == "precompute":
+        n_files, tot_dur = do_precompute(analyzer, names, args, report)
+    elif cmd == "match":
+        _check_params(ht, analyzer, report)
+        n_files, tot_dur = do_match(ht, analyzer, matcher, names, args,
+                                    report)
+    elif cmd in ("merge", "newmerge"):
+        for name in names:
+            other = HashTable(name)
+            ht.merge(other)
+            report(f"merged {name} ({sum(1 for n in other.names if n)} files)")
+        ht.save(args.dbase)
+    elif cmd == "list":
+        ht.list(report)
+    elif cmd == "remove":
+        for name in names:
+            ht.remove(name)
+            report(f"removed {name}")
+        ht.save(args.dbase)
+
+    elapsed = time.time() - t0
+    if cmd in ("new", "add", "precompute", "match") and args.verbose:
+        ratio = elapsed / tot_dur if tot_dur > 0 else 0.0
+        report(f"Processed {n_files} files ({tot_dur:.1f} s total dur) "
+               f"in {elapsed:.1f} s sec = {ratio:.3f} x RT")
+    if out_f is not None:
+        out_f.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,34 +71,41 @@ def empty_table(cfg: TableConfig):
     return table, counts
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
-def store_batch(table: jax.Array, counts: jax.Array,
-                times: jax.Array, hashes: jax.Array, valid: jax.Array,
-                ids: jax.Array, cfg: TableConfig):
-    """Insert a batch of per-file hash streams into the table.
+def store_batch_local(table: jax.Array, counts: jax.Array,
+                      times: jax.Array, hashes: jax.Array, valid: jax.Array,
+                      ids: jax.Array, cfg: TableConfig,
+                      bucket_lo: jax.Array | int = 0):
+    """Insert a batch of per-file hash streams into a (possibly shard-local)
+    table covering buckets [bucket_lo, bucket_lo + table.shape[0]).
 
     Args:
-      table, counts: current state (donated — updated in place on device)
+      table, counts: current state (updated functionally)
       times/hashes/valid: (B, L) int32/int32/bool per-file streams (rows of
         one file in order; e.g. straight from ops.pipeline.fingerprint_batch)
       ids: (B,) int32 track ids
+      bucket_lo: first global bucket owned by this table (0 = full table)
 
     Semantics == sequential HashTable.store of file 0, then file 1, ...
+    restricted to the owned bucket range (SURVEY §2.2: table sharding =
+    the EP-style "route to owning shard" pattern; out-of-range hashes are
+    simply masked here and handled by the shard that owns them).
     """
     B, L = hashes.shape
+    n_local = table.shape[0]
     hashmask = (1 << cfg.hashbits) - 1
     timemask = cfg.maxtime - 1
 
-    h = (hashes & hashmask).reshape(-1)
+    h = ((hashes & hashmask).reshape(-1)
+         - jnp.asarray(bucket_lo, jnp.int32))
     t = (times & timemask).reshape(-1)
-    v = valid.reshape(-1)
+    v = valid.reshape(-1) & (h >= 0) & (h < n_local)
     entry = ((ids[:, None].astype(jnp.uint32) << cfg.maxtimebits)
              | jnp.zeros((B, L), jnp.uint32)).reshape(-1) | t.astype(jnp.uint32)
     n = B * L
 
     # invalid rows -> bucket sentinel past the real buckets so they sort last
     # and never write (we allocate one scratch bucket row for them).
-    hkey = jnp.where(v, h, cfg.n_buckets)
+    hkey = jnp.where(v, h, n_local)
     order = jnp.arange(n, dtype=jnp.int32)
     hs, es, ords = jax.lax.sort((hkey, entry, order), num_keys=1,
                                 is_stable=True)
@@ -106,47 +113,70 @@ def store_batch(table: jax.Array, counts: jax.Array,
     idx = jnp.arange(n, dtype=jnp.int32)
     run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
     rank = idx - run_start
-    pos = counts[jnp.minimum(hs, cfg.n_buckets - 1)] + rank
+    pos = counts[jnp.minimum(hs, n_local - 1)] + rank
+    # reservoir PRNG is keyed by the GLOBAL bucket id so shard-local stores
+    # remain bit-identical to the unsharded table
     slot = jnp.where(
         pos < cfg.depth, pos,
-        reservoir_slot_device(hs, jnp.maximum(pos, cfg.depth), cfg.seed))
-    write = (slot < cfg.depth) & (hs < cfg.n_buckets)
+        reservoir_slot_device(hs + jnp.asarray(bucket_lo, jnp.int32),
+                              jnp.maximum(pos, cfg.depth), cfg.seed))
+    write = (slot < cfg.depth) & (hs < n_local)
     # last-wins on (bucket, slot): sort by (bucket, slot, ord) and keep the
     # row whose successor differs (sequential-store semantics).
     skey = jnp.where(write, slot, cfg.depth)
     hs2, sk2, _ord2, es2 = jax.lax.sort((hs, skey, ords, es), num_keys=3)
     last = jnp.concatenate(
         [(hs2[1:] != hs2[:-1]) | (sk2[1:] != sk2[:-1]), jnp.ones((1,), bool)])
-    do = last & (sk2 < cfg.depth) & (hs2 < cfg.n_buckets)
-    bidx = jnp.where(do, hs2, cfg.n_buckets - 1)
+    do = last & (sk2 < cfg.depth) & (hs2 < n_local)
+    # masked-out rows get an out-of-bounds bucket index and are dropped by
+    # the scatter (never redirect to a real slot: a "harmless" overwrite of
+    # a live slot's old value races with genuine writes to it)
+    bidx = jnp.where(do, hs2, n_local)
     sidx = jnp.where(do, sk2, 0)
-    # guard scatter: redirect masked-out rows to a harmless overwrite of
-    # their own current value
-    cur = table[bidx, sidx]
-    table = table.at[bidx, sidx].set(jnp.where(do, es2, cur))
-    counts = counts.at[jnp.minimum(hs, cfg.n_buckets - 1)].add(
-        jnp.where(hs < cfg.n_buckets, 1, 0))
+    table = table.at[bidx, sidx].set(es2, mode="drop")
+    counts = counts.at[jnp.minimum(hs, n_local - 1)].add(
+        jnp.where(hs < n_local, 1, 0))
     return table, counts
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def store_batch(table: jax.Array, counts: jax.Array,
+                times: jax.Array, hashes: jax.Array, valid: jax.Array,
+                ids: jax.Array, cfg: TableConfig):
+    """Full-table store (single device); see store_batch_local."""
+    return store_batch_local(table, counts, times, hashes, valid, ids, cfg, 0)
+
+
+def get_hits_local(table: jax.Array, counts: jax.Array,
+                   qtimes: jax.Array, qhashes: jax.Array, qvalid: jax.Array,
+                   cfg: TableConfig, bucket_lo: jax.Array | int = 0):
+    """(B, Q) queries -> (ids, dts, hvalid) each (B, Q, depth), restricted to
+    the bucket range owned by this (possibly shard-local) table.
+
+    Row order per query == reference get_hits (slot order per query hash).
+    """
+    n_local = table.shape[0]
+    hashmask = (1 << cfg.hashbits) - 1
+    timemask = cfg.maxtime - 1
+    qh = (qhashes & hashmask) - jnp.asarray(bucket_lo, jnp.int32)
+    own = (qh >= 0) & (qh < n_local)
+    qh = jnp.clip(qh, 0, n_local - 1)
+    tab = table[qh].astype(jnp.int32)                      # (B,Q,depth)
+    nids = jnp.minimum(cfg.depth, counts[qh])              # (B,Q)
+    slotidx = jnp.arange(cfg.depth, dtype=jnp.int32)
+    hvalid = ((slotidx[None, None, :] < nids[:, :, None])
+              & (qvalid & own)[:, :, None])
+    ids = (tab >> cfg.maxtimebits).astype(jnp.int32)
+    dts = (tab & timemask) - qtimes[:, :, None]
+    return ids, dts, hvalid
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def get_hits(table: jax.Array, counts: jax.Array,
              qtimes: jax.Array, qhashes: jax.Array, qvalid: jax.Array,
              cfg: TableConfig):
-    """(B, Q) queries -> (ids, dts, hvalid) each (B, Q, depth).
-
-    Row order per query == reference get_hits (slot order per query hash).
-    """
-    hashmask = (1 << cfg.hashbits) - 1
-    timemask = cfg.maxtime - 1
-    qh = qhashes & hashmask
-    tab = table[qh].astype(jnp.int32)                      # (B,Q,depth)
-    nids = jnp.minimum(cfg.depth, counts[qh])              # (B,Q)
-    slotidx = jnp.arange(cfg.depth, dtype=jnp.int32)
-    hvalid = (slotidx[None, None, :] < nids[:, :, None]) & qvalid[:, :, None]
-    ids = (tab >> cfg.maxtimebits).astype(jnp.int32)
-    dts = (tab & timemask) - qtimes[:, :, None]
-    return ids, dts, hvalid
+    """Full-table gather (single device); see get_hits_local."""
+    return get_hits_local(table, counts, qtimes, qhashes, qvalid, cfg, 0)
 
 
 def table_to_device(ht) -> tuple[jax.Array, jax.Array, TableConfig]:

@@ -1,0 +1,219 @@
+"""Matcher: user-facing retrieval (reference Matcher parity).
+
+Mirrors audfprint_match.py's Matcher (SURVEY §2.3.5): match_hashes /
+match_file / file_match_to_msgs / illustrate_match, with the voting core
+running as batched on-device reductions (audfprint_tpu.match.voting).  The
+device table upload is cached per (HashTable, revision) so repeated queries
+against the same DB pay the transfer once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from audfprint_tpu import params as P
+from audfprint_tpu.index import device_table as DT
+from audfprint_tpu.match import voting
+
+
+def _next_pow2(n: int, lo: int = 1) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+class Matcher:
+    def __init__(self,
+                 window: int = P.MATCH_WIN,
+                 threshcount: int = P.MIN_COUNT,
+                 max_returns: int = P.MAX_MATCHES,
+                 search_depth: int = P.SEARCH_DEPTH,
+                 exact_count: bool = False,
+                 find_time_range: bool = False,
+                 time_quantile: float = P.TIME_QUANTILE,
+                 sort_by_time: bool = False,
+                 verbose: int = 1,
+                 illustrate: bool = False,
+                 illustrate_hpf: bool = False):
+        self.window = window
+        self.threshcount = threshcount
+        self.max_returns = max_returns
+        self.search_depth = search_depth
+        self.exact_count = exact_count
+        self.find_time_range = find_time_range
+        self.time_quantile = time_quantile
+        self.sort_by_time = sort_by_time
+        self.verbose = verbose
+        self.illustrate = illustrate
+        self.illustrate_hpf = illustrate_hpf
+        self._dev = None          # (ht id, revision) -> device state
+
+    # -- device cache -----------------------------------------------------
+
+    def _device_state(self, ht):
+        rev = (id(ht), ht.totalhashes(), len(ht.names))
+        if self._dev is None or self._dev[0] != rev:
+            import jax
+            table, counts, tcfg = DT.table_to_device(ht)
+            ncap = _next_pow2(max(1, len(ht.names)), 256)
+            hpi = np.zeros(ncap, np.int32)
+            hpi[: len(ht.hashesperid)] = np.minimum(
+                ht.hashesperid, 2**31 - 1)
+            self._dev = (rev, table, counts, jax.device_put(hpi), tcfg, ncap)
+        return self._dev[1:]
+
+    def invalidate(self):
+        self._dev = None
+
+    # -- core -------------------------------------------------------------
+
+    def match_hashes(self, ht, hashes) -> np.ndarray:
+        """Query (t, hash) rows -> (k, 6) int64 result rows
+        [id, filtcount, mode_dt, rawcount, min_t, max_t] (oracle-identical)."""
+        return self.match_hashes_batch(ht, [np.asarray(hashes)])[0]
+
+    def match_hashes_batch(self, ht, hash_lists) -> list:
+        table, counts, hpi, tcfg, ncap = self._device_state(ht)
+        B = len(hash_lists)
+        maxn = max([1] + [len(h) for h in hash_lists])
+        Q = _next_pow2(maxn, 128)
+        maxt = max([1] + [int(h[:, 0].max()) + 1 for h in hash_lists
+                          if len(h)])
+        qt_cap = _next_pow2(min(maxt, 1 << 13), 512)
+        tt = np.zeros((B, Q), np.int32)
+        hh = np.zeros((B, Q), np.int32)
+        vv = np.zeros((B, Q), bool)
+        for b, h in enumerate(hash_lists):
+            h = np.asarray(h).reshape(-1, 2)
+            keep = h[:, 0] < qt_cap if len(h) else np.zeros(0, bool)
+            h = h[keep]
+            tt[b, : len(h)] = h[:, 0]
+            hh[b, : len(h)] = h[:, 1]
+            vv[b, : len(h)] = True
+        mcfg = voting.MatchConfig(
+            window=self.window, threshcount=self.threshcount,
+            max_returns=self.max_returns, search_depth=self.search_depth,
+            exact_count=self.exact_count,
+            find_time_range=self.find_time_range,
+            time_quantile=self.time_quantile,
+            sort_by_time=self.sort_by_time,
+            qt_cap=qt_cap, n_ids_cap=ncap)
+        import jax.numpy as jnp
+        out = voting.match_batch(table, counts, hpi, jnp.asarray(tt),
+                                 jnp.asarray(hh), jnp.asarray(vv), tcfg, mcfg)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        results = []
+        for b in range(B):
+            n = int(out["n_results"][b])
+            rows = np.stack([out["ids"][b], out["filtcount"][b],
+                             out["mode_dt"][b], out["rawcount"][b],
+                             out["min_t"][b], out["max_t"][b]],
+                            axis=1)[:n].astype(np.int64)
+            results.append(rows)
+        return results
+
+    # -- file-level API -----------------------------------------------------
+
+    def match_file(self, analyzer, ht, filename: str, number=None):
+        """Analyze one file and match it -> (rows, dur, nhash)."""
+        hashes = analyzer.wavfile2hashes(filename)
+        dur = analyzer.soundfiledur
+        rows = self.match_hashes(ht, hashes)
+        if self.verbose > 1:
+            print(f"Analyzed {filename} of {dur:.3f} s "
+                  f"to {len(hashes)} hashes")
+        return rows, dur, len(hashes)
+
+    def file_match_to_msgs(self, analyzer, ht, qry: str, number=None):
+        """Match one file, return the canonical output message lines
+        (the CLI-compat contract strings, SURVEY §2.3.5 [H])."""
+        rslts, dur, nhash = self.match_file(analyzer, ht, qry, number)
+        return self.results_to_msgs(rslts, dur, nhash, analyzer, ht, qry)
+
+    def results_to_msgs(self, rslts, dur, nhash, analyzer, ht, qry):
+        t_hop = analyzer.n_hop / float(analyzer.target_sr)
+        if self.verbose:
+            qrymsg = f"{qry} {dur:.1f} sec {nhash} raw hashes"
+        else:
+            qrymsg = qry
+        msgrslt = []
+        if len(rslts) == 0:
+            if self.verbose:
+                msgrslt.append("NOMATCH " + qrymsg)
+            else:
+                msgrslt.append(qrymsg + "\t")
+        else:
+            for rank, row in enumerate(rslts):
+                (tophitid, nhashaligned, aligntime, nhashraw,
+                 min_time, max_time) = (int(x) for x in row[:6])
+                name = ht.names[tophitid]
+                if self.verbose:
+                    if self.find_time_range:
+                        msg = (
+                            f"Matched {(max_time - min_time) * t_hop:6.1f} s "
+                            f"starting at {min_time * t_hop:6.1f} s in {qry} "
+                            f"to time {(min_time + aligntime) * t_hop:6.1f} s "
+                            f"in {name} with {nhashaligned} of {nhashraw} "
+                            f"common hashes at rank {rank}")
+                    else:
+                        msg = (f"Matched {qrymsg} as {name} "
+                               f"at {aligntime * t_hop:.1f} s "
+                               f"with {nhashaligned} of {nhashraw} "
+                               f"common hashes at rank {rank}")
+                    msgrslt.append(msg)
+                else:
+                    msgrslt.append(qrymsg + "\t" + name)
+        if self.illustrate or self.illustrate_hpf:
+            self.illustrate_match(analyzer, ht, qry)
+        return msgrslt
+
+    # -- diagnostics --------------------------------------------------------
+
+    def illustrate_match(self, analyzer, ht, filename: str,
+                         out_png: str | None = None):
+        """Spectrogram + landmark overlay, matched landmarks highlighted
+        (reference illustrate_match, audfprint_match.py:~300-380).
+        Saves to <filename>.match.png (headless environment)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            print("illustrate_match: matplotlib not available; skipping")
+            return None
+        from audfprint_tpu.oracle import analyze as oa
+
+        d = analyzer.read_audio(filename)
+        sg = oa.spectrogram(d, P.AnalyzerParams(
+            density=analyzer.density, n_fft=analyzer.n_fft,
+            n_hop=analyzer.n_hop, f_sd=analyzer.f_sd))
+        hashes = analyzer.samples2hashes(d)
+        rows = self.match_hashes(ht, hashes)
+        lmks = oa.hashes2landmarks(hashes)
+        fig, ax = plt.subplots(figsize=(12, 5))
+        ax.imshow(sg.T, origin="lower", aspect="auto", cmap="magma")
+        for t, f1, f2, dt in lmks:
+            ax.plot([t, t + dt], [f1, f2], "-", color="c", lw=0.6)
+        if len(rows):
+            mode = int(rows[0][2])
+            tid = int(rows[0][0])
+            ref = ht.get_hits(hashes)
+            alig = ref[(ref[:, 0] == tid)
+                       & (np.abs(ref[:, 1] - mode) <= self.window)]
+            qmatch = {(int(q), int(h)) for h, q in zip(alig[:, 2], alig[:, 3])}
+            matched_rows = [(int(r[0]), int(r[1])) for r in hashes
+                            if (int(r[0]), int(r[1])) in qmatch]
+            mlmks = oa.hashes2landmarks(
+                np.array(matched_rows, dtype=np.int64).reshape(-1, 2))
+            for t, f1, f2, dt in mlmks:
+                ax.plot([t, t + dt], [f1, f2], "-", color="lime", lw=1.2)
+            ax.set_title(f"{filename}: matched {ht.names[tid]} "
+                         f"dt={mode} frames")
+        else:
+            ax.set_title(f"{filename}: NOMATCH")
+        out_png = out_png or filename + ".match.png"
+        fig.savefig(out_png, dpi=90)
+        plt.close(fig)
+        print(f"illustrate_match: wrote {out_png}")
+        return out_png

@@ -16,12 +16,17 @@ Bit-compat contract vs audfprint_tpu.oracle.match.match_hashes:
     with an aligned hit (query rows are pre-deduped, so distinct row ==
     distinct (qtime, hash) — the oracle's _unique_match_hashes)
   * time range: integer-index quantiles over the aligned-hit qtime multiset
+
+The core is written against *combiner* callables so the identical code runs
+single-device (identity combiners) and table-sharded under shard_map (psum /
+pmin / pmax over the mesh axis; see audfprint_tpu.parallel.sharded) with
+bit-identical results.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +35,7 @@ from audfprint_tpu import params as P
 from audfprint_tpu.index import device_table as DT
 
 _I32MAX = jnp.int32(2**31 - 1)
+_ident: Callable = lambda x: x
 
 
 class MatchConfig(NamedTuple):
@@ -56,27 +62,26 @@ class MatchConfig(NamedTuple):
                    qt_cap=qt_cap, n_ids_cap=n_ids_cap)
 
 
-@functools.partial(jax.jit, static_argnames=("tcfg", "mcfg"))
-def match_batch(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
-                qtimes: jax.Array, qhashes: jax.Array, qvalid: jax.Array,
-                tcfg: DT.TableConfig, mcfg: MatchConfig):
-    """Match a batch of queries against the device-resident table.
+def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
+               qtimes: jax.Array, qhashes: jax.Array, qvalid: jax.Array,
+               tcfg: DT.TableConfig, mcfg: MatchConfig,
+               bucket_lo: jax.Array | int = 0,
+               sum_all: Callable = _ident,
+               min_all: Callable = _ident,
+               max_all: Callable = _ident):
+    """Voting over a (possibly shard-local) table.
 
-    Args:
-      table/counts:  device table state
-      hashesperid:   (n_ids_cap,) int32 (0 past the live ids)
-      qtimes/qhashes/qvalid: (B, Q) padded query hash streams
-        (qtimes must be < mcfg.qt_cap)
-
-    Returns dict of (B, max_returns) arrays: ids, filtcount, mode_dt,
-    rawcount, min_t, max_t, rvalid; plus n_results (B,).
+    `sum_all`/`min_all`/`max_all` combine per-shard partials across the mesh
+    axis (identity when unsharded).  Returns dict of (B, max_returns) arrays:
+    ids, filtcount, mode_dt, rawcount, min_t, max_t, rvalid; plus n_results.
     """
     B, Q = qhashes.shape
     SD = mcfg.search_depth
     W = mcfg.window
     nbins = tcfg.maxtime + mcfg.qt_cap
 
-    ids3, dts3, hv3 = DT.get_hits(table, counts, qtimes, qhashes, qvalid, tcfg)
+    ids3, dts3, hv3 = DT.get_hits_local(
+        table, counts, qtimes, qhashes, qvalid, tcfg, bucket_lo)
     H = Q * tcfg.depth
     id_f = ids3.reshape(B, H)
     dt_f = dts3.reshape(B, H)
@@ -88,10 +93,10 @@ def match_batch(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
                             (B, Q, tcfg.depth)).reshape(B, H)
     bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, H))
 
-    # 1. raw counts per id, weighted ranking, top-SD candidates
+    # 1. raw counts per id (combined across shards), weighted top-SD
     id_safe = jnp.where(v_f, jnp.minimum(id_f, mcfg.n_ids_cap - 1), 0)
-    raw = jnp.zeros((B, mcfg.n_ids_cap), jnp.int32).at[bidx, id_safe].add(
-        v_f.astype(jnp.int32))
+    raw = sum_all(jnp.zeros((B, mcfg.n_ids_cap), jnp.int32)
+                  .at[bidx, id_safe].add(v_f.astype(jnp.int32)))
     hpi = jnp.maximum(1, hashesperid).astype(jnp.float32)
     wc = jnp.where(raw > 0, raw.astype(jnp.float32) / hpi[None, :], -1.0)
     candw, cand_ids = jax.lax.top_k(wc, SD)                  # (B,SD)
@@ -105,38 +110,40 @@ def match_batch(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
         jnp.broadcast_to(jnp.arange(SD, dtype=jnp.int32)[None, :], (B, SD)))
     rank_f = jnp.where(v_f, rankmap[bidx, id_safe], SD)
 
-    # 3. per-candidate dt histogram + window smear + domain-masked argmax
+    # 3. per-candidate dt histogram (combined) + smear + masked argmax
     dtbin_f = jnp.clip(dt_f + mcfg.qt_cap, 0, nbins - 1)
-    hist = jnp.zeros((B, SD + 1, nbins), jnp.int32).at[
-        bidx, rank_f, dtbin_f].add(v_f.astype(jnp.int32))[:, :SD]
+    hist = sum_all(jnp.zeros((B, SD + 1, nbins), jnp.int32).at[
+        bidx, rank_f, dtbin_f].add(v_f.astype(jnp.int32))[:, :SD])
     csum = jnp.cumsum(hist, axis=-1)
     pad = jnp.zeros((B, SD, W + 1), jnp.int32)
     hi = jnp.concatenate([csum[..., W:],
                           jnp.broadcast_to(csum[..., -1:], (B, SD, W))], -1)
     lo = jnp.concatenate([pad, csum[..., : nbins - W - 1]], -1)
     smeared = hi - lo                                # sum over [d-W, d+W]
-    dtmin = jnp.full((B, SD + 1), _I32MAX, jnp.int32).at[
-        bidx, rank_f].min(jnp.where(v_f, dtbin_f, _I32MAX))[:, :SD]
+    dtmin = min_all(jnp.full((B, SD + 1), _I32MAX, jnp.int32).at[
+        bidx, rank_f].min(jnp.where(v_f, dtbin_f, _I32MAX))[:, :SD])
     binid = jnp.arange(nbins, dtype=jnp.int32)
     sm = jnp.where(binid[None, None, :] >= dtmin[..., None], smeared, -1)
     mode_bin = jnp.argmax(sm, axis=-1).astype(jnp.int32)    # first max
     filt_approx = jnp.max(sm, axis=-1)
 
-    # 4. aligned hits and counts
-    aligned = v_f & (jnp.abs(dtbin_f - mode_bin[bidx, jnp.minimum(rank_f, SD - 1)])
-                     <= W) & (rank_f < SD)
+    # 4. aligned hits and counts (per-shard stats combined after the fact)
+    aligned = (v_f
+               & (jnp.abs(dtbin_f
+                          - mode_bin[bidx, jnp.minimum(rank_f, SD - 1)]) <= W)
+               & (rank_f < SD))
     if mcfg.exact_count:
-        anyq = jnp.zeros((B, SD + 1, Q), jnp.int32).at[
-            bidx, rank_f, qi_f].max(aligned.astype(jnp.int32))[:, :SD]
+        anyq = max_all(jnp.zeros((B, SD + 1, Q), jnp.int32).at[
+            bidx, rank_f, qi_f].max(aligned.astype(jnp.int32))[:, :SD])
         filt = jnp.sum(anyq, axis=-1)
     else:
         filt = filt_approx
 
     # 5. aligned-qtime quantile range
     if mcfg.find_time_range:
-        qthist = jnp.zeros((B, SD + 1, mcfg.qt_cap), jnp.int32).at[
+        qthist = sum_all(jnp.zeros((B, SD + 1, mcfg.qt_cap), jnp.int32).at[
             bidx, rank_f, jnp.clip(qt_f, 0, mcfg.qt_cap - 1)].add(
-            aligned.astype(jnp.int32))[:, :SD]
+            aligned.astype(jnp.int32))[:, :SD])
         qcsum = jnp.cumsum(qthist, axis=-1)
         nq = qcsum[..., -1]
         k0 = (mcfg.time_quantile * nq.astype(jnp.float32)).astype(jnp.int32)
@@ -158,18 +165,12 @@ def match_batch(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
         jnp.arange(SD, dtype=jnp.int32)[None, :], (B, SD))
     k_first = jnp.where(keep, 0, 1).astype(jnp.int32)
     if mcfg.sort_by_time:
-        k_second = jnp.where(keep, mode_bin, _I32MAX)
-        # tie key: position in count-desc order == (-filt, rank) itself
-        k_third = -filt
-        k_fourth = rank_iota
-        keys = (k_first, k_second, k_third, k_fourth)
-        nk = 4
+        keys = (k_first, jnp.where(keep, mode_bin, _I32MAX), -filt, rank_iota)
     else:
         keys = (k_first, -filt, rank_iota)
-        nk = 3
     sortin = keys + (cand_ids, filt, mode_bin, cand_raw, min_t, max_t,
                      keep.astype(jnp.int32))
-    sorted_all = jax.lax.sort(sortin, num_keys=nk)
+    sorted_all = jax.lax.sort(sortin, num_keys=len(keys))
     out = sorted_all[len(keys):]
     r_ids, r_filt, r_mode, r_raw, r_min, r_max, r_keep = (
         a[:, : mcfg.max_returns] for a in out)
@@ -183,3 +184,12 @@ def match_batch(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
         "rvalid": r_keep.astype(bool),
         "n_results": jnp.minimum(jnp.sum(keep, axis=1), mcfg.max_returns),
     }
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg", "mcfg"))
+def match_batch(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
+                qtimes: jax.Array, qhashes: jax.Array, qvalid: jax.Array,
+                tcfg: DT.TableConfig, mcfg: MatchConfig):
+    """Single-device matching over the full table (see match_core)."""
+    return match_core(table, counts, hashesperid, qtimes, qhashes, qvalid,
+                      tcfg, mcfg)

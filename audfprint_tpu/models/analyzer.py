@@ -1,0 +1,180 @@
+"""Analyzer: the user-facing analysis model (reference Analyzer parity).
+
+Mirrors the reference class surface (audfprint_analyze.py Analyzer, SURVEY
+§2.3.3): wavfile2hashes / wavfile2peaks / ingest plus this rebuild's batched
+TPU entry points (wavfiles2hashes).  All DSP runs through the fused device
+pipeline in audfprint_tpu.ops; decode stays on host (SURVEY §2.1).
+
+Audio lengths are padded into geometric buckets so the number of distinct
+compiled shapes stays O(log max_len) — XLA compiles once per (bucket,
+config) and the persistent cache makes that a one-time cost.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from audfprint_tpu import params as P
+from audfprint_tpu.ops import pipeline as pipe
+from audfprint_tpu.ops import peaks as PK
+from audfprint_tpu.ops import spectro as SP
+from audfprint_tpu.ops.config import PipelineConfig
+from audfprint_tpu.utils import audio as audio_io
+from audfprint_tpu.utils import formats
+
+
+def _bucket_len(n: int, minimum: int = 1 << 16) -> int:
+    """Pad length to the next {1, 1.5} x power-of-two bucket."""
+    b = minimum
+    while b < n:
+        if (b * 3) // 2 >= n and b >= minimum * 2:
+            return (b * 3) // 2
+        b *= 2
+    return b
+
+
+class Analyzer:
+    def __init__(self,
+                 density: float = P.DENSITY,
+                 target_sr: int = P.TARGET_SR,
+                 n_fft: int = P.N_FFT,
+                 n_hop: int = P.N_HOP,
+                 shifts: int = P.SHIFTS,
+                 maxpksperframe: int = P.MAX_PKS_PER_FRAME,
+                 maxpairsperpeak: int = P.MAX_PAIRS_PER_PEAK,
+                 f_sd: float = P.F_SD,
+                 fail_on_error: bool = True):
+        self.density = density
+        self.target_sr = target_sr
+        self.n_fft = n_fft
+        self.n_hop = n_hop
+        self.shifts = max(1, shifts)
+        self.maxpksperframe = maxpksperframe
+        self.maxpairsperpeak = maxpairsperpeak
+        self.f_sd = f_sd
+        self.fail_on_error = fail_on_error
+        self.soundfiledur = 0.0   # duration of last-analyzed file (reference)
+
+    # -- config ---------------------------------------------------------
+
+    @property
+    def config(self) -> PipelineConfig:
+        return PipelineConfig(
+            density=self.density, n_fft=self.n_fft, n_hop=self.n_hop,
+            shifts=self.shifts, maxpksperframe=self.maxpksperframe,
+            maxpairsperpeak=self.maxpairsperpeak, f_sd=self.f_sd)
+
+    def params_dict(self) -> dict:
+        """Analyzer params persisted into the DB for compat checks
+        (reference HashTable.params, SURVEY §5 config row)."""
+        return {"density": self.density, "samplerate": self.target_sr,
+                "n_fft": self.n_fft, "n_hop": self.n_hop,
+                "shifts": self.shifts, "fanout": self.maxpairsperpeak}
+
+    # -- decode ---------------------------------------------------------
+
+    def read_audio(self, filename: str) -> np.ndarray:
+        d, _sr = audio_io.audio_read(filename, sr=self.target_sr, channels=1)
+        self.soundfiledur = float(len(d)) / self.target_sr
+        return d
+
+    # -- single-file API (reference parity) ------------------------------
+
+    def wavfile2hashes(self, filename: str) -> np.ndarray:
+        """File -> (N, 2) int32 sorted unique (t, hash) rows.
+
+        `.afpt` inputs short-circuit to hashes_load (reference
+        wavfile2hashes, audfprint_analyze.py:~430)."""
+        if os.path.splitext(filename)[1] == formats.PRECOMPEXT:
+            hashes = formats.hashes_load(filename)
+            # reference reports duration from hash extent for precomputed
+            self.soundfiledur = (
+                float(hashes[:, 0].max()) * self.n_hop / self.target_sr
+                if len(hashes) else 0.0)
+            return hashes
+        d = self.read_audio(filename)
+        return self.samples2hashes(d)
+
+    def samples2hashes(self, d: np.ndarray) -> np.ndarray:
+        batch = self._batch_one(d)
+        return pipe.fingerprint_numpy(batch, [len(d)], self.config)[0]
+
+    def wavfile2peaks(self, filename: str):
+        """File -> list of (frame, bin) peaks (sorted, unique across shifts).
+
+        `.afpk` inputs short-circuit to peaks_load."""
+        if os.path.splitext(filename)[1] == formats.PRECOMPPKEXT:
+            return formats.peaks_load(filename)
+        d = self.read_audio(filename)
+        cfg = self.config
+        n = np.asarray(pipe.frame_count_device(
+            np.asarray([len(d)], np.int32), cfg))
+        import jax.numpy as jnp
+        batch = jnp.asarray(self._batch_one(d))
+        # peaks per shift, merged (shift 0 only when shifts == 1)
+        all_pk = []
+        for s in range(cfg.shifts):
+            off = s * cfg.n_hop // cfg.shifts
+            ds = batch[:, off:]
+            ns = np.asarray(pipe.frame_count_device(
+                np.asarray([max(0, len(d) - off)], np.int32), cfg))
+            sg = SP.whitened_spectrogram(ds, jnp.asarray(ns), cfg)
+            mask = np.asarray(PK.find_peaks_mask(sg, jnp.asarray(ns), cfg))[0]
+            t, f = np.nonzero(mask)
+            all_pk.append(np.stack([t, f], axis=1))
+        pk = np.unique(np.concatenate(all_pk, axis=0), axis=0)
+        return [(int(a), int(b)) for a, b in pk]
+
+    def ingest(self, ht, filename: str):
+        """Analyze one file and store it (reference ingest) -> (dur, nhash)."""
+        hashes = self.wavfile2hashes(filename)
+        ht.store_vectorized(filename, hashes)
+        return self.soundfiledur, len(hashes)
+
+    # -- batched TPU API --------------------------------------------------
+
+    def _batch_one(self, d: np.ndarray) -> np.ndarray:
+        n = _bucket_len(len(d))
+        batch = np.zeros((1, n), np.float32)
+        batch[0, : len(d)] = d
+        return batch
+
+    def samples_batch2hashes(self, signals: list) -> list:
+        """Fingerprint a list of sample arrays in shared-bucket batches."""
+        out: list = [None] * len(signals)
+        order = sorted(range(len(signals)), key=lambda i: len(signals[i]))
+        groups: dict[int, list[int]] = {}
+        for i in order:
+            groups.setdefault(_bucket_len(len(signals[i])), []).append(i)
+        for blen, idxs in groups.items():
+            batch = np.zeros((len(idxs), blen), np.float32)
+            lens = np.zeros(len(idxs), np.int32)
+            for row, i in enumerate(idxs):
+                batch[row, : len(signals[i])] = signals[i]
+                lens[row] = len(signals[i])
+            hashes = pipe.fingerprint_numpy(batch, lens, self.config)
+            for row, i in enumerate(idxs):
+                out[i] = hashes[row]
+        return out
+
+    def wavfiles2hashes(self, filenames: list) -> list:
+        """Batched fingerprinting of many files -> list of (N, 2) arrays
+        (None for failed decodes when fail_on_error is False)."""
+        signals, durs = [], []
+        oks: list[bool] = []
+        for f in filenames:
+            try:
+                signals.append(self.read_audio(f))
+                durs.append(self.soundfiledur)
+                oks.append(True)
+            except audio_io.DecodeError:
+                if self.fail_on_error:
+                    raise
+                signals.append(np.zeros(0, np.float32))
+                durs.append(0.0)
+                oks.append(False)
+        hashes = self.samples_batch2hashes(signals)
+        self.durations = durs
+        return [h if ok else None for h, ok in zip(hashes, oks)]

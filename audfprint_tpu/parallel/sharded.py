@@ -1,0 +1,115 @@
+"""Multi-chip scaling: bucket-sharded table + data-parallel analysis.
+
+SURVEY §2.2 / §5 "Distributed communication backend": the (2^hashbits, depth)
+inverted index is sharded by bucket range across the mesh axis 'd' (bucket h
+lives on device h >> (hashbits - log2 ndev)) — the EP-style "route to the
+owning shard" pattern.  Queries are replicated (they are tiny: ~1k hashes);
+each shard gathers hits from its own bucket range and the per-candidate
+partials are combined with XLA collectives (psum/pmin/pmax over ICI):
+
+  store: replicated hash streams -> each shard masks to its range and runs
+         the same deterministic-reservoir scatter (device_table.store_batch_
+         local) -> no collectives at all.
+  match: local raw-count partials -> psum -> identical candidate set on all
+         shards -> local dt-histogram partials -> psum -> identical voting
+         everywhere -> replicated results.  Bit-identical to single-device.
+
+Analysis (fingerprinting) is pure data parallelism over the batch axis
+(SURVEY §2.2 row 1): jit with a P('d', None) input sharding; no collectives.
+
+The reference's `merge` (shard-then-combine, its only distribution story)
+becomes `sharded_store` of the other table's entry streams = resharding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as PS
+
+try:  # jax >= 0.5 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from audfprint_tpu.index import device_table as DT
+from audfprint_tpu.match import voting
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("d",))
+
+
+def shard_table(mesh: Mesh, table, counts):
+    """Place a (n_buckets, depth) table bucket-sharded over the mesh."""
+    ts = NamedSharding(mesh, PS("d", None))
+    cs = NamedSharding(mesh, PS("d"))
+    return jax.device_put(table, ts), jax.device_put(counts, cs)
+
+
+def empty_sharded_table(mesh: Mesh, cfg: DT.TableConfig):
+    table, counts = DT.empty_table(cfg)
+    return shard_table(mesh, table, counts)
+
+
+def sharded_store_fn(mesh: Mesh, cfg: DT.TableConfig):
+    """Returns jitted (table, counts, times, hashes, valid, ids) -> updated
+    sharded (table, counts).  Inputs times/hashes/valid/ids replicated."""
+    ndev = mesh.devices.size
+    assert cfg.n_buckets % ndev == 0
+    n_local = cfg.n_buckets // ndev
+
+    def _local(table, counts, t, h, v, ids):
+        lo = jax.lax.axis_index("d") * n_local
+        return DT.store_batch_local(table, counts, t, h, v, ids, cfg, lo)
+
+    f = shard_map(_local, mesh=mesh,
+                  in_specs=(PS("d", None), PS("d"), PS(), PS(), PS(), PS()),
+                  out_specs=(PS("d", None), PS("d")))
+    return jax.jit(f, donate_argnums=(0, 1))
+
+
+def sharded_match_fn(mesh: Mesh, tcfg: DT.TableConfig,
+                     mcfg: voting.MatchConfig):
+    """Returns jitted (table, counts, hashesperid, qt, qh, qv) -> result dict
+    (replicated).  Bit-identical to voting.match_batch on the merged table."""
+    ndev = mesh.devices.size
+    assert tcfg.n_buckets % ndev == 0
+    n_local = tcfg.n_buckets // ndev
+
+    def _local(table, counts, hpi, qt, qh, qv):
+        lo = jax.lax.axis_index("d") * n_local
+        return voting.match_core(
+            table, counts, hpi, qt, qh, qv, tcfg, mcfg, bucket_lo=lo,
+            sum_all=functools.partial(jax.lax.psum, axis_name="d"),
+            min_all=functools.partial(jax.lax.pmin, axis_name="d"),
+            max_all=functools.partial(jax.lax.pmax, axis_name="d"))
+
+    f = shard_map(_local, mesh=mesh,
+                  in_specs=(PS("d", None), PS("d"), PS(), PS(), PS(), PS()),
+                  out_specs=PS(),
+                  check_vma=False)
+    return jax.jit(f)
+
+
+def dp_fingerprint_fn(mesh: Mesh, cfg):
+    """Data-parallel fingerprinting: batch axis sharded over 'd'."""
+    from audfprint_tpu.ops import pipeline as pipe
+
+    ds = NamedSharding(mesh, PS("d", None))
+    ls = NamedSharding(mesh, PS("d"))
+
+    def f(audio, lengths):
+        audio = jax.lax.with_sharding_constraint(audio, ds)
+        lengths = jax.lax.with_sharding_constraint(lengths, ls)
+        return pipe.fingerprint_batch(audio, lengths, cfg)
+
+    return jax.jit(f, in_shardings=(ds, ls))

@@ -1,0 +1,97 @@
+"""Headline benchmark: fingerprint throughput (audio-sec/sec/chip).
+
+Measures the device pipeline (audio batch -> sorted unique landmark hashes)
+in steady state on the ambient JAX platform (the real TPU under the driver),
+and compares against the single-core reference baseline.
+
+Baseline: the reference implementation is pure single-core NumPy
+(SURVEY §6: ~10-30x realtime).  The mount being empty, the baseline is
+re-measured here as this repo's reference-faithful NumPy oracle running the
+identical analysis on one core — the same pipeline the TPU path is proven
+bit-compatible against.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def synth_batch(B: int, n: int, sr: int = 11025) -> np.ndarray:
+    """Music-like batch: harmonic note events + percussive bursts."""
+    rng = np.random.default_rng(12345)
+    t = np.arange(n) / sr
+    out = np.empty((B, n), np.float32)
+    for b in range(B):
+        x = 0.002 * rng.standard_normal(n)
+        for _ in range(max(8, int(n / sr * 10))):
+            f0 = 55 * 2 ** rng.uniform(1, 6)
+            s = rng.uniform(0, n / sr - 0.1)
+            L = rng.uniform(0.08, 0.5)
+            seg = (t >= s) & (t < s + L)
+            m = int(seg.sum())
+            if m < 8:
+                continue
+            env = np.exp(-3 * np.linspace(0, 1, m))
+            y = np.zeros(m)
+            for k in range(1, 4):
+                if f0 * k < sr / 2 - 500:
+                    y += (0.6 ** k) * np.sin(2 * np.pi * f0 * k * t[seg])
+            x[seg] += rng.uniform(0.2, 0.6) * env * y
+        out[b] = (x / max(1e-9, np.abs(x).max()) * 0.7)
+    return out
+
+
+def measure_device(B: int = 8, dur_sec: float = 20.0, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    import audfprint_tpu.utils.jaxconfig as jc
+    jc.setup()
+    from audfprint_tpu.ops.config import PipelineConfig
+    from audfprint_tpu.ops.pipeline import fingerprint_batch
+
+    cfg = PipelineConfig()
+    sr = 11025
+    n = 1 << 18                     # 262144 samples = 23.8 s bucket
+    dur = n / sr
+    audio = jnp.asarray(synth_batch(B, n))
+    lengths = jnp.asarray(np.full(B, n, np.int32))
+
+    out = jax.block_until_ready(fingerprint_batch(audio, lengths, cfg))
+    t0 = time.time()
+    for _ in range(iters):
+        out = jax.block_until_ready(fingerprint_batch(audio, lengths, cfg))
+    elapsed = time.time() - t0
+    nhashes = int(np.asarray(out[3]).sum())
+    return B * dur * iters / elapsed, nhashes
+
+
+def measure_oracle(dur_sec: float = 10.0):
+    from audfprint_tpu.oracle import analyze as oa
+
+    sr = 11025
+    x = synth_batch(1, int(dur_sec * sr))[0]
+    t0 = time.time()
+    h = oa.samples_to_hashes(x)
+    elapsed = time.time() - t0
+    return dur_sec / elapsed, len(h)
+
+
+def main():
+    dev_tput, nh = measure_device()
+    orc_tput, _ = measure_oracle()
+    print(json.dumps({
+        "metric": "fingerprint_throughput",
+        "value": round(dev_tput, 1),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(dev_tput / orc_tput, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,10 @@ import pytest  # noqa: E402
 # persistent compile cache makes re-runs fast (first run pays the compiles)
 import jax  # noqa: E402
 
+# The axon sitecustomize pins jax_platforms="axon,cpu" via jax.config at
+# interpreter start (beats the env var) — override it back to CPU here,
+# before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_audfprint_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -1,0 +1,174 @@
+"""End-to-end CLI tests: every subcommand through main(), golden-output style
+(the reference's tests/Makefile approach, SURVEY §4), on generated WAVs."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from audfprint_tpu.cli import main
+from audfprint_tpu.utils import formats
+from audfprint_tpu.utils.audio import audio_write_wav
+from tests.conftest import synth_audio
+
+SR = 11025
+# small table geometry so CPU tests stay light
+COMMON = ["-h", "16", "-b", "20", "-t", "4096"]
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    rng = np.random.default_rng(99)
+    d = tmp_path_factory.mktemp("audio")
+    tracks = []
+    for i in range(3):
+        x = synth_audio(rng, dur_sec=6.0, n_tones=50)
+        audio_write_wav(str(d / f"track{i}.wav"), x, SR)
+        tracks.append(x)
+    # query: clip of track1 from 2.0s..5.0s + noise
+    q = tracks[1][2 * SR: 5 * SR] + 0.02 * rng.standard_normal(3 * SR).astype(
+        np.float32)
+    audio_write_wav(str(d / "query.wav"), q * 0.7, SR)
+    # noise-only query
+    audio_write_wav(str(d / "noise.wav"),
+                    0.1 * rng.standard_normal(3 * SR), SR)
+    return d
+
+
+def _run(capsys, argv):
+    rc = main([str(a) for a in argv])
+    assert rc == 0
+    return capsys.readouterr().out
+
+
+def test_new_and_match(fixture_dir, tmp_path, capsys):
+    db = tmp_path / "test.pklz"
+    out = _run(capsys, ["new", "-p", db, *COMMON,
+                        *(fixture_dir / f"track{i}.wav" for i in range(3))])
+    assert "Saved fprints for 3 files" in out
+    assert re.search(r"Processed 3 files \(18\.0 s total dur\)", out)
+
+    out = _run(capsys, ["match", "-p", db, *COMMON, fixture_dir / "query.wav"])
+    m = re.search(
+        r"Matched .*query\.wav 3\.0 sec (\d+) raw hashes as .*track1\.wav "
+        r"at (\d+\.\d) s with (\d+) of (\d+) common hashes at rank 0", out)
+    assert m, out
+    # clip starts at 2.0 s -> mode ~ 2.0 s
+    assert abs(float(m.group(2)) - 2.0) <= 0.1
+    # NOMATCH line for noise
+    out = _run(capsys, ["match", "-p", db, *COMMON, fixture_dir / "noise.wav"])
+    assert "NOMATCH" in out and "noise.wav" in out
+
+
+def test_match_time_range_and_quiet(fixture_dir, tmp_path, capsys):
+    db = tmp_path / "db.pklz"
+    _run(capsys, ["new", "-p", db, *COMMON,
+                  fixture_dir / "track0.wav", fixture_dir / "track1.wav"])
+    out = _run(capsys, ["match", "-p", db, *COMMON, "-R", "-X",
+                        fixture_dir / "query.wav"])
+    assert re.search(r"Matched\s+\d+\.\d s starting at\s+\d+\.\d s in .*query",
+                     out), out
+    # verbose=0 -> tab-separated quiet format
+    out = _run(capsys, ["match", "-p", db, *COMMON, "-v", "0",
+                        fixture_dir / "query.wav"])
+    lines = [l for l in out.splitlines() if "query.wav" in l]
+    assert lines and "\t" in lines[0] and "track1.wav" in lines[0]
+
+
+def test_precompute_add_roundtrip(fixture_dir, tmp_path, capsys):
+    pre = tmp_path / "pre"
+    out = _run(capsys, ["precompute", "--precompdir", pre, *COMMON,
+                        *(fixture_dir / f"track{i}.wav" for i in range(2))])
+    afpts = [str(pre / str(fixture_dir).lstrip("/") / f"track{i}.afpt")
+             for i in range(2)]
+    assert all(os.path.exists(a) for a in afpts), out
+    # skip-existing is honored
+    out = _run(capsys, ["precompute", "--precompdir", pre, "-k", *COMMON,
+                        *(fixture_dir / f"track{i}.wav" for i in range(2))])
+    assert out.count("skipping existing") == 2
+
+    db = tmp_path / "dbp.pklz"
+    _run(capsys, ["new", "-p", db, *COMMON, *afpts])
+    out = _run(capsys, ["match", "-p", db, *COMMON, fixture_dir / "query.wav"])
+    assert "track1.afpt" in out and "Matched" in out
+
+
+def test_precompute_peaks(fixture_dir, tmp_path, capsys):
+    pre = tmp_path / "prek"
+    _run(capsys, ["precompute", "-K", "--precompdir", pre, *COMMON,
+                  fixture_dir / "track0.wav"])
+    afpk = str(pre / str(fixture_dir).lstrip("/") / "track0.afpk")
+    assert os.path.exists(afpk)
+    peaks = formats.peaks_load(afpk)
+    assert len(peaks) > 30
+    assert all(0 <= f < 256 for _, f in peaks)
+
+
+def test_merge_and_newmerge(fixture_dir, tmp_path, capsys):
+    db0 = tmp_path / "a.pklz"
+    db1 = tmp_path / "b.pklz"
+    _run(capsys, ["new", "-p", db0, *COMMON, fixture_dir / "track0.wav"])
+    _run(capsys, ["new", "-p", db1, *COMMON, fixture_dir / "track1.wav"])
+    dbm = tmp_path / "m.pklz"
+    _run(capsys, ["newmerge", "-p", dbm, *COMMON, db0, db1])
+    out = _run(capsys, ["list", "-p", dbm, *COMMON])
+    assert "track0.wav" in out and "track1.wav" in out
+    out = _run(capsys, ["match", "-p", dbm, *COMMON, fixture_dir / "query.wav"])
+    assert "track1.wav" in out and "Matched" in out
+    # merge db1 into db0 in place
+    _run(capsys, ["merge", "-p", db0, *COMMON, db1])
+    out = _run(capsys, ["match", "-p", db0, *COMMON, fixture_dir / "query.wav"])
+    assert "track1.wav" in out
+
+
+def test_list_remove(fixture_dir, tmp_path, capsys):
+    db = tmp_path / "lr.pklz"
+    _run(capsys, ["new", "-p", db, *COMMON,
+                  fixture_dir / "track0.wav", fixture_dir / "track1.wav"])
+    out = _run(capsys, ["list", "-p", db, *COMMON])
+    assert "track0.wav" in out and "hashes" in out
+    _run(capsys, ["remove", "-p", db, *COMMON, fixture_dir / "track1.wav"])
+    out = _run(capsys, ["list", "-p", db, *COMMON])
+    assert "track1.wav" not in out
+    out = _run(capsys, ["match", "-p", db, *COMMON, fixture_dir / "query.wav"])
+    assert "NOMATCH" in out
+
+
+def test_opfile_and_listfile(fixture_dir, tmp_path, capsys):
+    db = tmp_path / "op.pklz"
+    listfile = tmp_path / "inputs.txt"
+    listfile.write_text(
+        f"{fixture_dir}/track0.wav\n{fixture_dir}/track1.wav\n")
+    _run(capsys, ["new", "-p", db, *COMMON, "-l", listfile])
+    opfile = tmp_path / "out.txt"
+    _run(capsys, ["match", "-p", db, *COMMON, "-o", opfile,
+                  fixture_dir / "query.wav"])
+    text = opfile.read_text()
+    assert "Matched" in text and "track1.wav" in text
+
+
+def test_continue_on_error(fixture_dir, tmp_path, capsys):
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a wav at all")
+    db = tmp_path / "ce.pklz"
+    out = _run(capsys, ["new", "-p", db, *COMMON, "-C",
+                        bad, fixture_dir / "track0.wav"])
+    assert "Error reading" in out
+    assert "Processed 1 files" in out
+    with pytest.raises(Exception):
+        main(["new", "-p", str(tmp_path / "x.pklz"), *COMMON, str(bad)])
+
+
+def test_shifts_and_density_flags(fixture_dir, tmp_path, capsys):
+    db = tmp_path / "sd.pklz"
+    out = _run(capsys, ["new", "-p", db, *COMMON, "-S", "2", "-d", "40",
+                        fixture_dir / "track1.wav"])
+    assert "Saved fprints" in out
+    out = _run(capsys, ["match", "-p", db, *COMMON, "-S", "2", "-d", "40",
+                        fixture_dir / "query.wav"])
+    assert "Matched" in out and "track1.wav" in out
+    # param mismatch warning when matching with different density
+    out = _run(capsys, ["match", "-p", db, *COMMON,
+                        fixture_dir / "query.wav"])
+    assert "Warning: database" in out

@@ -1,0 +1,95 @@
+"""Multi-chip (8 virtual CPU devices) sharded table: bit-identical to
+single-device store/match (SURVEY §4 multi-device CPU-sim tests)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from audfprint_tpu import params as P  # noqa: E402
+from audfprint_tpu.index import device_table as DT  # noqa: E402
+from audfprint_tpu.match import voting  # noqa: E402
+from audfprint_tpu.parallel import sharded  # noqa: E402
+
+TCFG = DT.TableConfig(hashbits=12, depth=8, maxtimebits=10, seed=0)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    return sharded.make_mesh(8)
+
+
+def _streams(rng, B=6, L=300):
+    t = rng.integers(0, TCFG.maxtime, (B, L)).astype(np.int32)
+    h = rng.integers(0, 1 << TCFG.hashbits, (B, L)).astype(np.int32)
+    v = rng.random((B, L)) < 0.9
+    ids = np.arange(B, dtype=np.int32)
+    return map(jnp.asarray, (t, h, v, ids))
+
+
+def test_sharded_store_matches_single(mesh, rng):
+    t, h, v, ids = _streams(rng)
+    table1, counts1 = DT.empty_table(TCFG)
+    table1, counts1 = DT.store_batch(table1, counts1, t, h, v, ids, TCFG)
+
+    tableN, countsN = sharded.empty_sharded_table(mesh, TCFG)
+    store = sharded.sharded_store_fn(mesh, TCFG)
+    tableN, countsN = store(tableN, countsN, t, h, v, ids)
+    assert np.array_equal(np.asarray(tableN), np.asarray(table1))
+    assert np.array_equal(np.asarray(countsN), np.asarray(counts1))
+
+
+@pytest.mark.parametrize("exact,timerange", [(False, False), (True, True)])
+def test_sharded_match_matches_single(mesh, rng, exact, timerange):
+    t, h, v, ids = _streams(rng, B=4, L=400)
+    table, counts = DT.empty_table(TCFG)
+    table, counts = DT.store_batch(table, counts, t, h, v, ids, TCFG)
+    hpi = jnp.asarray(np.full(32, 400, np.int32))
+
+    # queries: slices of track streams (time-shifted) + noise
+    tq = np.zeros((3, 128), np.int32)
+    hq = np.zeros((3, 128), np.int32)
+    vq = np.zeros((3, 128), bool)
+    tnp, hnp, vnp = (np.asarray(t), np.asarray(h), np.asarray(v))
+    rngl = np.random.default_rng(1)
+    for b in range(3):
+        src = vnp[b + 1]
+        idx = np.nonzero(src)[0][:100]
+        tq[b, :len(idx)] = np.maximum(0, tnp[b + 1, idx] - 50)
+        hq[b, :len(idx)] = hnp[b + 1, idx]
+        vq[b, :len(idx)] = True
+
+    mcfg = voting.MatchConfig(search_depth=8, max_returns=3, qt_cap=1024,
+                              n_ids_cap=32, exact_count=exact,
+                              find_time_range=timerange)
+    want = voting.match_batch(table, counts, hpi, jnp.asarray(tq),
+                              jnp.asarray(hq), jnp.asarray(vq), TCFG, mcfg)
+    tableN, countsN = sharded.shard_table(mesh, table, counts)
+    match = sharded.sharded_match_fn(mesh, TCFG, mcfg)
+    got = match(tableN, countsN, hpi, jnp.asarray(tq), jnp.asarray(hq),
+                jnp.asarray(vq))
+    for k in want:
+        assert np.array_equal(np.asarray(got[k]), np.asarray(want[k])), k
+
+
+def test_dp_fingerprint_sharded(mesh):
+    from audfprint_tpu.ops.config import PipelineConfig
+    from tests.conftest import synth_audio
+
+    rng = np.random.default_rng(0)
+    cfg = PipelineConfig()
+    B, N = 8, 40960
+    audio = np.stack([synth_audio(rng, dur_sec=N / 11025.0)[:N]
+                      for _ in range(B)])
+    lengths = np.full(B, N, np.int32)
+    f = sharded.dp_fingerprint_fn(mesh, cfg)
+    t_s, h_s, uniq, counts = f(jnp.asarray(audio), jnp.asarray(lengths))
+    # must equal the unsharded pipeline exactly
+    from audfprint_tpu.ops import pipeline as pipe
+    t1, h1, u1, c1 = pipe.fingerprint_batch(
+        jnp.asarray(audio), jnp.asarray(lengths), cfg)
+    assert np.array_equal(np.asarray(counts), np.asarray(c1))
+    assert np.array_equal(np.asarray(t_s), np.asarray(t1))
+    assert np.array_equal(np.asarray(h_s), np.asarray(h1))
