@@ -30,6 +30,7 @@ from audfprint_tpu.match.matcher import Matcher
 from audfprint_tpu.models.analyzer import Analyzer
 from audfprint_tpu.utils import audio as audio_io
 from audfprint_tpu.utils import formats
+from audfprint_tpu.utils.timing import Stages
 
 COMMANDS = ("new", "add", "precompute", "merge", "newmerge", "match",
             "list", "remove")
@@ -83,6 +84,10 @@ def make_parser() -> argparse.ArgumentParser:
     a("-v", "--verbose", type=int, default=1)
     a("--batchsize", type=int, default=16,
       help="files analyzed per device batch (TPU-native knob)")
+    a("--profile", type=str, default=None,
+      help="write a jax.profiler trace to this directory")
+    a("--json-metrics", dest="json_metrics", type=str, default=None,
+      help="write per-stage timing/counters JSON to this file")
     return p
 
 
@@ -143,7 +148,24 @@ def _check_params(ht: HashTable, analyzer: Analyzer, report) -> None:
 
 
 def _decode_many(analyzer: Analyzer, names: list, ncores: int, report):
-    """Host-parallel decode (the QueueReaderThread/joblib analog)."""
+    """Host-parallel decode (the QueueReaderThread/joblib analog).
+
+    PCM WAVs take the native C++ threaded bulk loader when available
+    (native/audfp_host.cpp); everything else (other formats, float WAVs,
+    decode errors) falls back to the per-file Python/ffmpeg path."""
+    results: dict[int, object] = {}
+    todo = list(range(len(names)))
+    if all(n.lower().endswith(".wav") and os.path.exists(n) for n in names):
+        fast = audio_io.read_wav_batch(names, sr=analyzer.target_sr,
+                                       n_threads=max(2, ncores))
+        if fast is not None:
+            todo = []
+            for i, d in enumerate(fast):
+                if d is None:
+                    todo.append(i)     # native couldn't handle; fall back
+                else:
+                    results[i] = d
+
     def _one(name):
         try:
             d, _ = audio_io.audio_read(name, sr=analyzer.target_sr,
@@ -155,15 +177,21 @@ def _decode_many(analyzer: Analyzer, names: list, ncores: int, report):
             report(f"Error reading {name}: {e}")
             return None
 
-    if ncores > 1:
-        with ThreadPoolExecutor(max_workers=ncores) as ex:
-            return list(ex.map(_one, names))
-    return [_one(n) for n in names]
+    if todo:
+        if ncores > 1:
+            with ThreadPoolExecutor(max_workers=ncores) as ex:
+                slow = list(ex.map(_one, [names[i] for i in todo]))
+        else:
+            slow = [_one(names[i]) for i in todo]
+        for i, d in zip(todo, slow):
+            results[i] = d
+    return [results[i] for i in range(len(names))]
 
 
 def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
-              report) -> tuple[int, float]:
+              report, stages: Stages | None = None) -> tuple[int, float]:
     """Batched analyze + store; returns (n_files, total_dur)."""
+    stages = stages or Stages()
     tot_dur = 0.0
     n_done = 0
     B = max(1, args.batchsize)
@@ -172,12 +200,15 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
         precomp = [n for n in chunk
                    if os.path.splitext(n)[1] == formats.PRECOMPEXT]
         wavs = [n for n in chunk if n not in precomp]
-        signals = _decode_many(analyzer, wavs, args.ncores, report)
+        with stages.time("decode"):
+            signals = _decode_many(analyzer, wavs, args.ncores, report)
         good = [(n, d) for n, d in zip(wavs, signals) if d is not None]
         if good:
-            hashes = analyzer.samples_batch2hashes([d for _, d in good])
+            with stages.time("analyze"):
+                hashes = analyzer.samples_batch2hashes([d for _, d in good])
             for (name, d), h in zip(good, hashes):
-                ht.store_vectorized(name, h)
+                with stages.time("store"):
+                    ht.store_vectorized(name, h)
                 dur = len(d) / analyzer.target_sr
                 tot_dur += dur
                 n_done += 1
@@ -231,8 +262,10 @@ def do_precompute(analyzer: Analyzer, names: list, args,
 
 
 def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
-             names: list, args, report) -> tuple[int, float]:
+             names: list, args, report,
+             stages: Stages | None = None) -> tuple[int, float]:
     """Batched query matching."""
+    stages = stages or Stages()
     tot_dur = 0.0
     n_done = 0
     B = max(1, args.batchsize)
@@ -241,7 +274,8 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
         hash_lists, durs = [], []
         for name in chunk:
             try:
-                h = analyzer.wavfile2hashes(name)
+                with stages.time("analyze"):
+                    h = analyzer.wavfile2hashes(name)
             except audio_io.DecodeError as e:
                 if analyzer.fail_on_error:
                     raise
@@ -253,7 +287,8 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
               if h is not None]
         if not ok:
             continue
-        results = matcher.match_hashes_batch(ht, [h for _, h, _ in ok])
+        with stages.time("match"):
+            results = matcher.match_hashes_batch(ht, [h for _, h, _ in ok])
         for (name, h, dur), rows in zip(ok, results):
             for msg in matcher.results_to_msgs(rows, dur, len(h),
                                                analyzer, ht, name):
@@ -282,6 +317,13 @@ def main(argv=None) -> int:
 
     analyzer = setup_analyzer(args)
     matcher = setup_matcher(args)
+    stages = Stages()
+    profile_ctx = None
+    if args.profile:
+        import jax
+        os.makedirs(args.profile, exist_ok=True)
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
     t0 = time.time()
     n_files, tot_dur = 0, 0.0
 
@@ -301,14 +343,16 @@ def main(argv=None) -> int:
     if cmd in ("new", "add"):
         if cmd == "add":
             _check_params(ht, analyzer, report)
-        n_files, tot_dur = do_ingest(ht, analyzer, names, args, report)
-        ht.save(args.dbase, params=analyzer.params_dict())
+        n_files, tot_dur = do_ingest(ht, analyzer, names, args, report,
+                                     stages)
+        with stages.time("save"):
+            ht.save(args.dbase, params=analyzer.params_dict())
     elif cmd == "precompute":
         n_files, tot_dur = do_precompute(analyzer, names, args, report)
     elif cmd == "match":
         _check_params(ht, analyzer, report)
         n_files, tot_dur = do_match(ht, analyzer, matcher, names, args,
-                                    report)
+                                    report, stages)
     elif cmd in ("merge", "newmerge"):
         for name in names:
             other = HashTable(name)
@@ -324,10 +368,20 @@ def main(argv=None) -> int:
         ht.save(args.dbase)
 
     elapsed = time.time() - t0
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        report(f"profiler trace written to {args.profile}")
     if cmd in ("new", "add", "precompute", "match") and args.verbose:
         ratio = elapsed / tot_dur if tot_dur > 0 else 0.0
         report(f"Processed {n_files} files ({tot_dur:.1f} s total dur) "
                f"in {elapsed:.1f} s sec = {ratio:.3f} x RT")
+    if args.verbose > 1:
+        stages.report(report)
+    if args.json_metrics:
+        stages.add_meta(command=cmd, n_files=n_files,
+                        total_dur_s=round(tot_dur, 3),
+                        elapsed_s=round(elapsed, 3))
+        stages.dump_json(args.json_metrics)
     if out_f is not None:
         out_f.close()
     return 0

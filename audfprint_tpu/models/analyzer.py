@@ -159,6 +159,18 @@ class Analyzer:
                 out[i] = hashes[row]
         return out
 
+    def glob2hashtable(self, pattern: str, ht=None):
+        """Build (or extend) a HashTable from a glob pattern (reference
+        glob2hashtable, audfprint_analyze.py [M])."""
+        import glob as _glob
+
+        from audfprint_tpu.index.hash_table import HashTable
+        if ht is None:
+            ht = HashTable()
+        for name in sorted(_glob.glob(pattern)):
+            self.ingest(ht, name)
+        return ht
+
     def wavfiles2hashes(self, filenames: list) -> list:
         """Batched fingerprinting of many files -> list of (N, 2) arrays
         (None for failed decodes when fail_on_error is False)."""

@@ -1,0 +1,321 @@
+"""Fused Pallas TPU kernel: onset HPF + forward + backward decaying-threshold
+peak pruning in a single pass over the time axis.
+
+This is the hot sequential op of the whole framework (SURVEY §7 "Hard
+parts": the masking envelope is a data-dependent scan).  The XLA `lax.scan`
+version (ops/peaks.py) pays per-iteration loop overhead twice (fwd + bwd);
+this kernel keeps every carry in VMEM and runs both passes back-to-back:
+
+  layout    : work arrays are (B_tile, 256) — batch on sublanes, freq on
+              lanes (256 = 2x128 lanes), the natural VPU shape; no
+              narrower-than-lane tensors anywhere (Mosaic-friendly)
+  streaming : the (T, B, F) spectrogram stays in HBM; each time step's
+              (B, F) slab is DMA'd in with double buffering
+  fwd pass  : HPF recurrence -> locmax -> top-k by (val desc, pos desc)
+              via k argmax/mask iterations -> envelope raise via a
+              ONE-HOT MATMUL against the tabulated gaussian (MXU does the
+              row gather exactly: val * gtab[pos]) -> decay.
+              Emits a sparse VALUE MAP per frame (accepted peaks keep their
+              value, everything else -inf), streamed back to HBM.
+  bwd pass  : streams the value maps in reverse; candidates re-extracted
+              with the same argmax trick (identical (val desc, pos desc)
+              order), sequential within-frame acceptance, same one-hot MXU
+              envelope raise.  Emits a 0/1 kept map per frame.
+
+Because per-frame state is only (B, F), VMEM use is T-independent — any
+clip length streams.  The XLA glue (find_peaks_mask_fused) applies the
+reference's delete-next rule and is bit-identical to
+ops.peaks.find_peaks_mask (tested) and therefore to the NumPy oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audfprint_tpu import params as P
+from audfprint_tpu.ops import peaks as PKref
+from audfprint_tpu.ops.config import PipelineConfig
+
+_NEG = -3.0e38  # python float: jnp scalars at module level would be
+                # captured constants, which pallas_call rejects
+
+
+def _kernel(sgram_hbm, nf_ref, env0f_ref, gtab_ref,
+            valmap_hbm, keptmap_hbm, lastcol_out,
+            # scratch
+            xbuf, vbuf, kbuf, in_sem, out_sem, kout_sem,
+            sth, xprev, yprev, lastcol,
+            *, T: int, B: int, F: int, k: int, pole: float, a_dec: float,
+            gsize: int, f_sd: float):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, F), 1)
+    nfb = nf_ref[:]                     # (B, 1) int32
+    a = jnp.float32(a_dec)
+    pol = jnp.float32(pole)
+    neg = jnp.float32(_NEG)
+
+    def dma_in(slot, t):
+        return pltpu.make_async_copy(
+            sgram_hbm.at[t], xbuf.at[slot], in_sem.at[slot])
+
+    def dma_val_in(slot, t):
+        return pltpu.make_async_copy(
+            valmap_hbm.at[t], xbuf.at[slot], in_sem.at[slot])
+
+    def dma_val_out(slot, t):
+        return pltpu.make_async_copy(
+            vbuf.at[slot], valmap_hbm.at[t], out_sem.at[slot])
+
+    def dma_kept_out(slot, t):
+        return pltpu.make_async_copy(
+            kbuf.at[slot], keptmap_hbm.at[t], kout_sem.at[slot])
+
+    # ---- forward pass (HPF fused) ----
+    sth[:] = env0f_ref[:]
+    xprev[:] = jnp.zeros((B, F), jnp.float32)
+    yprev[:] = jnp.zeros((B, F), jnp.float32)
+    lastcol[:] = jnp.zeros((B, F), jnp.float32)
+    dma_in(0, 0).start()
+
+    def fwd_body(t, _):
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < T)
+        def _():
+            dma_in(1 - slot, t + 1).start()
+
+        dma_in(slot, t).wait()
+        x = xbuf[slot]
+        y = (x - xprev[:]) + pol * yprev[:]
+        xprev[:] = x
+        yprev[:] = y
+        active = t < nfb                               # (B,1)
+        # record the last valid column for the bwd init envelope
+        lastcol[:] = jnp.where(t == nfb - 1, y, lastcol[:])
+        # locmax (reference convention)
+        yl = pltpu.roll(y, 1, 1)                       # y[:, j-1]
+        yr = pltpu.roll(y, F - 1, 1)                   # y[:, j+1]
+        rise = (y >= yl) | (lane == 0)
+        fall = (lane == F - 1) | ~(yr >= y)
+        cand = rise & fall & (y > sth[:]) & active
+        m = jnp.where(cand, y, neg)
+        # top-k by (val desc, pos desc), one slot at a time
+        oh_rows = []
+        vals = []
+        accmask = jnp.zeros((B, F), bool)
+        for i in range(k):
+            v = jnp.max(m, axis=1, keepdims=True)          # (B,1)
+            p = jnp.max(jnp.where(m == v, lane, -1), axis=1,
+                        keepdims=True)                      # highest pos
+            onehot = (lane == p) & (v > neg)
+            # PURE 0/1 one-hot: the MXU gather (1.0 * g) is exact at
+            # HIGHEST precision; folding v in here would round the product
+            # through the bf16 splits and break bit-compat with the oracle.
+            oh_rows.append(
+                jnp.where(onehot, 1.0, 0.0).astype(jnp.float32))
+            vals.append(jnp.where(v > neg, v, 0.0))
+            accmask = accmask | onehot
+            m = jnp.where(onehot, neg, m)
+        # envelope raise: (k*B, F) @ (F, F) one-hot matmul == exact row
+        # gather; the val*g product happens on the VPU in f32
+        rows = jax.lax.dot_general(
+            jnp.concatenate(oh_rows, axis=0), gtab_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST).reshape(k, B, F)
+        contrib = rows * jnp.stack(vals, axis=0)           # (k,B,1) bcast
+        sth[:] = jnp.maximum(sth[:], jnp.max(contrib, axis=0)) * a
+        # stream out the sparse value map
+        @pl.when(t >= 2)
+        def _():
+            dma_val_out(slot, t - 2).wait()
+        vbuf[slot] = jnp.where(accmask, y, neg)
+        dma_val_out(slot, t).start()
+        return 0
+
+    jax.lax.fori_loop(0, T, fwd_body, 0)
+    dma_val_out(jax.lax.rem(T - 1, 2), T - 1).wait()
+
+    @pl.when(T >= 2)
+    def _():
+        dma_val_out(jax.lax.rem(T - 2, 2), T - 2).wait()
+
+    lastcol_out[:] = lastcol[:]
+
+    # ---- backward init envelope: spread of locmax(lastcol) ----
+    lc = lastcol[:]
+    ll = pltpu.roll(lc, 1, 1)
+    lr = pltpu.roll(lc, F - 1, 1)
+    lrise = (lc >= ll) | (lane == 0)
+    lfall = (lane == F - 1) | ~(lr >= lc)
+    mv = jnp.where(lrise & lfall, lc, 0.0)
+    # max-of-bumps: env[j] = max_p mv[p] * gvec[j-p]; realized as 2*gsize+1
+    # rolled multiplies (max-plus has no MXU form).  Each gvec value is the
+    # same float64->float32 constant as the oracle's tabulated template.
+    env = jnp.zeros((B, F), jnp.float32)
+    for off in range(-gsize, gsize + 1):
+        g = jnp.float32(np.exp(-0.5 * ((off / f_sd) ** 2)))
+        shifted = pltpu.roll(mv, off % F, 1)
+        okj = (lane - off >= 0) & (lane - off <= F - 1)
+        env = jnp.maximum(env, jnp.where(okj, shifted * g, 0.0))
+    sth[:] = env
+
+    # ---- backward pass (streams valmap in reverse) ----
+    dma_val_in(jax.lax.rem(T - 1, 2), T - 1).start()
+
+    def bwd_body(i, _):
+        t = T - 1 - i
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t - 1 >= 0)
+        def _():
+            dma_val_in(1 - slot, t - 1).start()
+
+        dma_val_in(slot, t).wait()
+        m = xbuf[slot]
+        sth[:] = jnp.where(t == nfb - 1, env, sth[:])
+        valid_t = (t < nfb)                            # (B,1)
+        keptmask = jnp.zeros((B, F), bool)
+        for _i2 in range(k):
+            v = jnp.max(m, axis=1, keepdims=True)
+            p = jnp.max(jnp.where(m == v, lane, -1), axis=1, keepdims=True)
+            onehot = (lane == p) & (v > neg)
+            m = jnp.where(onehot, neg, m)
+            cur = jnp.max(jnp.where(onehot, sth[:], neg), axis=1,
+                          keepdims=True)
+            keep = (v > neg) & valid_t & (v >= cur)
+            oh01 = jnp.where(onehot & keep, 1.0, 0.0).astype(jnp.float32)
+            row = jax.lax.dot_general(
+                oh01, gtab_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            contrib = row * jnp.where(keep, v, 0.0)
+            sth[:] = jnp.maximum(sth[:], contrib)
+            keptmask = keptmask | (onehot & keep)
+        sth[:] = sth[:] * a
+
+        @pl.when(i >= 2)
+        def _():
+            dma_kept_out(slot, t + 2).wait()
+        kbuf[slot] = jnp.where(keptmask, 1.0, 0.0).astype(jnp.float32)
+        dma_kept_out(slot, t).start()
+        return 0
+
+    jax.lax.fori_loop(0, T, bwd_body, 0)
+    dma_kept_out(0, 0).wait()
+
+    @pl.when(T >= 2)
+    def _():
+        dma_kept_out(1, 1).wait()
+
+
+def _pad_b(B: int) -> int:
+    return max(8, ((B + 7) // 8) * 8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
+                interpret: bool = False):
+    """(B, T, F) pre-HPF whitened sgram -> (valmap, keptmap) (B, T, F).
+
+    valmap: accepted fwd peaks carry their HPF'd value, else -inf.
+    keptmap: 1.0 where the bwd pass kept the peak (before the delete-next
+    rule, which the caller applies).
+    """
+    B, T, F = sgram.shape
+    k = cfg.maxpksperframe
+    Bp = _pad_b(B)
+    if Bp != B:
+        sgram = jnp.concatenate(
+            [sgram, jnp.zeros((Bp - B, T, F), sgram.dtype)], axis=0)
+        n_frames = jnp.concatenate(
+            [n_frames, jnp.zeros(Bp - B, n_frames.dtype)])
+    gtab = jnp.asarray(PKref._gauss_table(cfg))
+    # fwd init env: spread of per-bin max over first <=10 HPF'd frames —
+    # computed in XLA on the (tiny) head slice, matching ops.peaks.fwd_prune
+    head = jnp.minimum(10, jnp.maximum(1, n_frames))
+    T10 = min(10, T)
+    pole = jnp.float32(cfg.hpf_pole ** (1.0 / P.OVERSAMP))
+
+    def hpf_step(carry, x):
+        xp, yp = carry
+        y = (x - xp) + pole * yp
+        return (x, y), y
+
+    zero = jnp.zeros((Bp, F), jnp.float32)
+    _, yhead = jax.lax.scan(hpf_step, (zero, zero),
+                            jnp.transpose(sgram[:, :T10], (1, 0, 2)))
+    sel = jnp.arange(T10)[None, :] < head[:, None]
+    vmax = jnp.max(jnp.where(sel.T[:, :, None], yhead, -jnp.inf), axis=0)
+    vmax = jnp.where(jnp.isfinite(vmax), vmax, 0.0)
+    env0f = PKref._spread_vector(vmax, gtab)
+
+    sg_tm = jnp.transpose(sgram, (1, 0, 2))          # (T, Bp, F)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # sgram stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # n_frames (Bp,1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # env0f
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # gtab
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # valmap (T,Bp,F) HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # keptmap (T,Bp,F) HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # lastcol
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, Bp, F), jnp.float32),      # stream-in buffer
+            pltpu.VMEM((2, Bp, F), jnp.float32),      # valmap out buffer
+            pltpu.VMEM((2, Bp, F), jnp.float32),      # keptmap out buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((Bp, F), jnp.float32),         # sthresh
+            pltpu.VMEM((Bp, F), jnp.float32),         # xprev
+            pltpu.VMEM((Bp, F), jnp.float32),         # yprev
+            pltpu.VMEM((Bp, F), jnp.float32),         # lastcol
+        ],
+    )
+    kern = functools.partial(
+        _kernel, T=T, B=Bp, F=F, k=k,
+        pole=float(cfg.hpf_pole ** (1.0 / P.OVERSAMP)),
+        a_dec=float(cfg.a_dec), gsize=cfg.gsize, f_sd=float(cfg.f_sd))
+    valmap, keptmap, lastcol = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Bp, F), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, F), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, F), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(sg_tm, n_frames[:, None].astype(jnp.int32), env0f, gtab)
+    valmap = jnp.transpose(valmap, (1, 0, 2))[:B]
+    keptmap = jnp.transpose(keptmap, (1, 0, 2))[:B]
+    return valmap, keptmap
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def find_peaks_mask_fused(sgram_prehpf: jax.Array, n_frames: jax.Array,
+                          cfg: PipelineConfig, interpret: bool = False):
+    """Pre-HPF whitened sgram -> final (B, T, F) bool peak mask.
+
+    Drop-in equal to ops.peaks.find_peaks_mask(hpf(sgram), ...) — the HPF
+    lives inside the kernel."""
+    B, T, F = sgram_prehpf.shape
+    _valmap, keptmap = fused_prune(sgram_prehpf, n_frames, cfg, interpret)
+    kmask = keptmap > 0.5                             # (B,T,F)
+    # delete-next rule: kept peak at (t, p) kills kept peak at (t+1, p)
+    kprev = jnp.concatenate(
+        [jnp.zeros((B, 1, F), bool), kmask[:, :-1]], axis=1)
+    return kmask & ~kprev

@@ -34,6 +34,10 @@ def frame_count_device(lengths: jax.Array, cfg: PipelineConfig) -> jax.Array:
                      1 + (lengths - cfg.n_fft) // cfg.n_hop, 0).astype(jnp.int32)
 
 
+def n_frames_padded_static(n: int, cfg: PipelineConfig) -> int:
+    return 0 if n < cfg.n_fft else 1 + (n - cfg.n_fft) // cfg.n_hop
+
+
 def _expand_shifts(audio: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
     """(B, N) -> (B*S, N) sub-hop-shifted copies; rows grouped per file."""
     S = cfg.shifts
@@ -53,14 +57,27 @@ def _expand_shifts(audio: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
     return audio_s, lengths_s
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def _use_pallas(impl: str, T: int, cfg: PipelineConfig) -> bool:
+    if impl == "xla":
+        return False
+    if impl == "pallas":
+        return True
+    # auto: the fused kernel's VMEM scratch bounds T; CPU uses the XLA path
+    # (interpret-mode pallas is for tests)
+    import jax as _jax
+    return (_jax.default_backend() == "tpu"
+            and cfg.n_bins == 256 and 0 < T <= 1024)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
 def fingerprint_batch(audio: jax.Array, lengths: jax.Array,
-                      cfg: PipelineConfig):
+                      cfg: PipelineConfig, impl: str = "auto"):
     """Fingerprint a padded batch of audio.
 
     Args:
       audio:   (B, N) float32, zero-padded past per-file lengths
       lengths: (B,) int32 true sample counts
+      impl:    "auto" | "xla" | "pallas" peak-picker selection
 
     Returns:
       times:  (B, L) int32 sorted unique (t, hash) rows' times
@@ -72,8 +89,17 @@ def fingerprint_batch(audio: jax.Array, lengths: jax.Array,
     audio_s, lengths_s = _expand_shifts(
         audio.astype(jnp.float32), lengths.astype(jnp.int32), cfg)
     n_frames = frame_count_device(lengths_s, cfg)
-    sgram = SP.whitened_spectrogram(audio_s, n_frames, cfg)
-    mask = PK.find_peaks_mask(sgram, n_frames, cfg)
+    T = n_frames_padded_static(audio_s.shape[1], cfg)
+    if _use_pallas(impl, T, cfg):
+        from audfprint_tpu.ops import pallas_peaks as PP
+        white = SP.whitened_logmag(audio_s, n_frames, cfg)
+        import jax as _jax
+        mask = PP.find_peaks_mask_fused(
+            white, n_frames, cfg,
+            interpret=_jax.default_backend() == "cpu")
+    else:
+        sgram = SP.whitened_spectrogram(audio_s, n_frames, cfg)
+        mask = PK.find_peaks_mask(sgram, n_frames, cfg)
     bins, valid = PK.mask_to_slots(mask, cfg)
     times, hashes, lvalid = L.slots_to_hashes(bins, valid, cfg)
 

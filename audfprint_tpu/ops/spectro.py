@@ -49,9 +49,9 @@ def frame_batch(audio: jax.Array, cfg: PipelineConfig) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def whitened_spectrogram(audio: jax.Array, n_frames: jax.Array,
-                         cfg: PipelineConfig) -> jax.Array:
-    """(B, N) float32, (B,) int32 valid frame counts -> (B, T, n_bins) f32.
+def whitened_logmag(audio: jax.Array, n_frames: jax.Array,
+                    cfg: PipelineConfig) -> jax.Array:
+    """(B, N) float32, (B,) int32 -> pre-HPF whitened log-mag (B, T, n_bins).
 
     Rows t >= n_frames[b] carry arbitrary values and must be masked by the
     consumer (the peak picker masks on t < n_frames).
@@ -71,8 +71,12 @@ def whitened_spectrogram(audio: jax.Array, n_frames: jax.Array,
             / (nvalid * mag.shape[-1]))
     white = jnp.where(mx > 0.0, logm - mean, mag)  # zero signal passes raw
     # drop nyquist row (reference "[:-1,]"), keep n_bins
-    white = white[:, :, : cfg.n_bins]
-    # causal onset HPF along time: y[t] = (x[t]-x[t-1]) + pole*y[t-1]
+    return white[:, :, : cfg.n_bins]
+
+
+def hpf(white: jax.Array, cfg: PipelineConfig) -> jax.Array:
+    """Causal onset HPF along time: y[t] = (x[t]-x[t-1]) + pole*y[t-1]."""
+    B = white.shape[0]
     pole = jnp.float32(cfg.hpf_pole ** (1.0 / P.OVERSAMP))
 
     def hpf_step(carry, x):
@@ -84,3 +88,10 @@ def whitened_spectrogram(audio: jax.Array, n_frames: jax.Array,
     zero = jnp.zeros((B, cfg.n_bins), jnp.float32)
     _, y_tm = jax.lax.scan(hpf_step, (zero, zero), x_tm)
     return jnp.transpose(y_tm, (1, 0, 2))                       # (B,T,F)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def whitened_spectrogram(audio: jax.Array, n_frames: jax.Array,
+                         cfg: PipelineConfig) -> jax.Array:
+    """(B, N) float32, (B,) int32 -> HPF'd whitened log-mag (B, T, n_bins)."""
+    return hpf(whitened_logmag(audio, n_frames, cfg), cfg)

@@ -19,6 +19,7 @@ the device pipeline consumes fixed-size float32 batches from here.
 from __future__ import annotations
 
 import math
+import os
 import shutil
 import subprocess
 import threading
@@ -131,6 +132,35 @@ def audio_read(filename: str, sr: int | None = None, channels: int = 1):
             in_sr = sr
         return x, in_sr
     return _read_ffmpeg(filename, sr, channels)
+
+
+def read_wav_batch(paths: list, sr: int | None = None,
+                   n_threads: int = 8) -> list | None:
+    """Bulk decode of PCM WAVs via the native C++ loader (threaded).
+
+    Returns a list of float32 mono arrays aligned with `paths` (None entries
+    for files the native path can't handle — caller falls back to
+    audio_read), or None when the native lib is unavailable.
+    """
+    from audfprint_tpu.utils import native
+
+    if native.get_lib() is None or not paths:
+        return None
+    max_samples = max(os.path.getsize(p) // 2 + 8 for p in paths)
+    res = native.load_wav_batch(paths, max_samples, n_threads)
+    if res is None:
+        return None
+    batch, lens, srs, errs = res
+    out: list = []
+    for i in range(len(paths)):
+        if errs[i] != 0:
+            out.append(None)
+            continue
+        x = batch[i, : lens[i]]
+        if sr is not None and srs[i] != sr:
+            x = _resample(x, int(srs[i]), sr)
+        out.append(np.ascontiguousarray(x))
+    return out
 
 
 def audio_write_wav(filename: str, x: np.ndarray, sr: int) -> None:

@@ -59,16 +59,23 @@ def measure_device(B: int = 8, dur_sec: float = 20.0, iters: int = 5):
     sr = 11025
     n = 1 << 18                     # 262144 samples = 23.8 s bucket
     dur = n / sr
-    audio = jnp.asarray(synth_batch(B, n))
+    base = synth_batch(B, n)
+    # distinct input per iteration: defeats any execution memoization in
+    # the runtime/tunnel and models a real ingest stream
+    rng = np.random.default_rng(7)
+    batches = [jnp.asarray(base + (0.001 * k) * rng.standard_normal(
+        (B, 1)).astype(np.float32)) for k in range(iters + 1)]
     lengths = jnp.asarray(np.full(B, n, np.int32))
 
-    out = jax.block_until_ready(fingerprint_batch(audio, lengths, cfg))
+    out = jax.block_until_ready(fingerprint_batch(batches[0], lengths, cfg))
     t0 = time.time()
-    for _ in range(iters):
-        out = jax.block_until_ready(fingerprint_batch(audio, lengths, cfg))
+    total_hashes = 0
+    for k in range(1, iters + 1):
+        out = jax.block_until_ready(
+            fingerprint_batch(batches[k], lengths, cfg))
+        total_hashes += int(np.asarray(out[3]).sum())  # host materialization
     elapsed = time.time() - t0
-    nhashes = int(np.asarray(out[3]).sum())
-    return B * dur * iters / elapsed, nhashes
+    return B * dur * iters / elapsed, total_hashes
 
 
 def measure_oracle(dur_sec: float = 10.0):

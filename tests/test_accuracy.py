@@ -1,0 +1,89 @@
+"""Retrieval-quality harness: P/R on a small DB of synthetic tracks with
+clean, noisy, and shifted queries (BASELINE configs 2-3 at CI scale)."""
+
+import numpy as np
+import pytest
+
+from audfprint_tpu import params as P
+from audfprint_tpu.index.hash_table import HashTable
+from audfprint_tpu.match.matcher import Matcher
+from audfprint_tpu.models.analyzer import Analyzer
+from tests.conftest import synth_audio
+
+SR = 11025
+N_TRACKS = 16
+DUR = 8.0
+
+
+@pytest.fixture(scope="module")
+def db():
+    rng = np.random.default_rng(2026)
+    analyzer = Analyzer()
+    ht = HashTable(hashbits=18, depth=50, maxtime=8192)
+    tracks = []
+    for i in range(N_TRACKS):
+        x = synth_audio(rng, dur_sec=DUR, n_tones=60)
+        tracks.append(x)
+    hashes = analyzer.samples_batch2hashes(tracks)
+    for i, h in enumerate(hashes):
+        ht.store_vectorized(f"track{i}", h)
+    return analyzer, ht, tracks, rng
+
+
+def _top1_acc(analyzer, ht, queries, truths, matcher=None):
+    matcher = matcher or Matcher()
+    hash_lists = analyzer.samples_batch2hashes(queries)
+    results = matcher.match_hashes_batch(ht, hash_lists)
+    correct = sum(1 for rows, truth in zip(results, truths)
+                  if len(rows) and rows[0][0] == truth)
+    return correct / len(truths)
+
+
+def test_clean_exact_segment_queries(db):
+    analyzer, ht, tracks, rng = db
+    queries, truths = [], []
+    for i in range(N_TRACKS):
+        start = rng.integers(0, int((DUR - 4) * SR))
+        queries.append(tracks[i][start: start + 4 * SR].copy())
+        truths.append(i)
+    assert _top1_acc(analyzer, ht, queries, truths) >= 0.95
+
+
+def test_noisy_queries(db):
+    analyzer, ht, tracks, rng = db
+    queries, truths = [], []
+    for i in range(N_TRACKS):
+        start = rng.integers(0, int((DUR - 4) * SR))
+        clip = tracks[i][start: start + 4 * SR].copy()
+        clip = clip + 0.05 * rng.standard_normal(len(clip)).astype(np.float32)
+        queries.append(clip)
+        truths.append(i)
+    acc = _top1_acc(analyzer, ht, queries, truths)
+    assert acc >= 0.8, acc
+
+
+def test_no_false_positives_on_noise(db):
+    analyzer, ht, _tracks, rng = db
+    noise = [(0.1 * rng.standard_normal(4 * SR)).astype(np.float32)
+             for _ in range(8)]
+    hash_lists = analyzer.samples_batch2hashes(noise)
+    results = Matcher().match_hashes_batch(ht, hash_lists)
+    fp = sum(1 for rows in results if len(rows))
+    assert fp == 0
+
+
+def test_shifts_improve_aligned_counts(db):
+    """--shifts raises aligned counts for misaligned queries (SURVEY §2.2)."""
+    analyzer, ht, tracks, rng = db
+    a4 = Analyzer(shifts=4)
+    # offset by half a hop so frames misalign maximally
+    start = 128
+    clip = tracks[3][start: start + 4 * SR].copy()
+    h1 = analyzer.samples_batch2hashes([clip])[0]
+    h4 = a4.samples_batch2hashes([clip])[0]
+    m = Matcher()
+    r1 = m.match_hashes(ht, h1)
+    r4 = m.match_hashes(ht, h4)
+    assert len(r4) and r4[0][0] == 3
+    if len(r1):
+        assert r4[0][1] >= r1[0][1]

@@ -1,0 +1,70 @@
+"""Matcher/Analyzer Python API parity: match_file, file_match_to_msgs,
+illustrate_match, wavfile2peaks, ingest (reference class surface)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from audfprint_tpu.index.hash_table import HashTable
+from audfprint_tpu.match.matcher import Matcher
+from audfprint_tpu.models.analyzer import Analyzer
+from audfprint_tpu.utils.audio import audio_write_wav
+from tests.conftest import synth_audio
+
+SR = 11025
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    rng = np.random.default_rng(123)
+    d = tmp_path_factory.mktemp("api")
+    tracks = [synth_audio(rng, dur_sec=6.0, n_tones=50) for _ in range(2)]
+    for i, x in enumerate(tracks):
+        audio_write_wav(str(d / f"t{i}.wav"), x, SR)
+    q = tracks[1][SR: 4 * SR]
+    audio_write_wav(str(d / "q.wav"), q, SR)
+    analyzer = Analyzer()
+    ht = HashTable(hashbits=16, depth=20, maxtime=4096)
+    for i in range(2):
+        dur, nh = analyzer.ingest(ht, str(d / f"t{i}.wav"))
+        assert abs(dur - 6.0) < 0.05 and nh > 20
+    return d, analyzer, ht
+
+
+def test_match_file_and_msgs(setup):
+    d, analyzer, ht = setup
+    m = Matcher()
+    rows, dur, nhash = m.match_file(analyzer, ht, str(d / "q.wav"))
+    assert len(rows) == 1 and rows[0][0] == 1
+    msgs = m.file_match_to_msgs(analyzer, ht, str(d / "q.wav"))
+    assert len(msgs) == 1 and msgs[0].startswith("Matched")
+    assert "t1.wav" in msgs[0] and "at rank 0" in msgs[0]
+
+
+def test_match_hashes_matches_oracle(setup):
+    from audfprint_tpu import params as P
+    from audfprint_tpu.oracle import match as om
+
+    d, analyzer, ht = setup
+    qh = analyzer.wavfile2hashes(str(d / "q.wav"))
+    got = Matcher().match_hashes(ht, qh)
+    want = om.match_hashes(ht, qh, P.MatcherParams())
+    assert np.array_equal(got, want)
+
+
+def test_wavfile2peaks(setup):
+    d, analyzer, ht = setup
+    pks = analyzer.wavfile2peaks(str(d / "t0.wav"))
+    assert len(pks) > 30
+    assert all(0 <= f < 256 for _, f in pks)
+    # sorted by (t, bin)
+    assert pks == sorted(pks)
+
+
+def test_illustrate_match(setup, tmp_path):
+    d, analyzer, ht = setup
+    out = str(tmp_path / "ill.png")
+    m = Matcher()
+    path = m.illustrate_match(analyzer, ht, str(d / "q.wav"), out_png=out)
+    assert path == out and os.path.getsize(out) > 10000
