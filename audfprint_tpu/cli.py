@@ -194,6 +194,15 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
     stages = stages or Stages()
     tot_dur = 0.0
     n_done = 0
+    if args.skip_existing:
+        # idempotent ingest: a killed batch job can simply rerun (SURVEY §5
+        # failure-detection row; extends the reference's precompute-only
+        # --skip-existing to add/new)
+        present = {n for n in ht.names if n is not None}
+        skipped = [n for n in names if n in present]
+        names = [n for n in names if n not in present]
+        for n in skipped:
+            report(f"skipping existing {n}")
     B = max(1, args.batchsize)
     for i in range(0, len(names), B):
         chunk = names[i: i + B]

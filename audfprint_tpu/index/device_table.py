@@ -91,23 +91,33 @@ def store_batch_local(table: jax.Array, counts: jax.Array,
     simply masked here and handled by the shard that owns them).
     """
     B, L = hashes.shape
-    n_local = table.shape[0]
-    hashmask = (1 << cfg.hashbits) - 1
     timemask = cfg.maxtime - 1
-
-    h = ((hashes & hashmask).reshape(-1)
-         - jnp.asarray(bucket_lo, jnp.int32))
     t = (times & timemask).reshape(-1)
-    v = valid.reshape(-1) & (h >= 0) & (h < n_local)
     entry = ((ids[:, None].astype(jnp.uint32) << cfg.maxtimebits)
              | jnp.zeros((B, L), jnp.uint32)).reshape(-1) | t.astype(jnp.uint32)
-    n = B * L
+    return store_packed_local(table, counts, hashes.reshape(-1),
+                              entry, valid.reshape(-1), cfg, bucket_lo)
+
+
+def store_packed_local(table: jax.Array, counts: jax.Array,
+                       hashes: jax.Array, entry: jax.Array, valid: jax.Array,
+                       cfg: TableConfig, bucket_lo: jax.Array | int = 0):
+    """Insert pre-packed entries (= (id << maxtimebits) | t) — used both by
+    store_batch_local and by merge-as-resharding (replaying another table's
+    stored entries, the reference's merge, hash_table.py:~340-400)."""
+    n_local = table.shape[0]
+    hashmask = (1 << cfg.hashbits) - 1
+
+    h = (hashes & hashmask) - jnp.asarray(bucket_lo, jnp.int32)
+    v = valid & (h >= 0) & (h < n_local)
+    es_in = entry.astype(jnp.uint32)
+    n = h.shape[0]
 
     # invalid rows -> bucket sentinel past the real buckets so they sort last
     # and never write (we allocate one scratch bucket row for them).
     hkey = jnp.where(v, h, n_local)
     order = jnp.arange(n, dtype=jnp.int32)
-    hs, es, ords = jax.lax.sort((hkey, entry, order), num_keys=1,
+    hs, es, ords = jax.lax.sort((hkey, es_in, order), num_keys=1,
                                 is_stable=True)
     first = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
     idx = jnp.arange(n, dtype=jnp.int32)

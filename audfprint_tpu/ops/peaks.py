@@ -169,7 +169,12 @@ def mask_to_slots(mask: jax.Array, cfg: PipelineConfig):
     F = mask.shape[-1]
     k = cfg.maxpksperframe
     key = jnp.where(mask, F - jnp.arange(F, dtype=jnp.int32), 0)
-    topv, _ = jax.lax.top_k(key, k)          # desc key = asc bin
+    tops = []
+    for _ in range(k):       # unique keys: k max-extractions == top-k
+        v = jnp.max(key, axis=-1, keepdims=True)
+        tops.append(v)
+        key = jnp.where(key == v, 0, key)
+    topv = jnp.concatenate(tops, axis=-1)    # desc key = asc bin
     valid = topv > 0
     bins = jnp.where(valid, F - topv, 0).astype(jnp.int32)
     return bins, valid

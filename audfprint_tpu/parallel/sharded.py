@@ -100,6 +100,47 @@ def sharded_match_fn(mesh: Mesh, tcfg: DT.TableConfig,
     return jax.jit(f)
 
 
+def sharded_merge_fn(mesh: Mesh, cfg: DT.TableConfig):
+    """Merge-as-resharding: replay another table's stored entries into the
+    sharded table (the reference's only distribution story, SURVEY §3.4).
+
+    Returns jitted (table, counts, hashes (N,), entries (N,), valid (N,)) ->
+    updated sharded state.  Entries must already carry the id offset; use
+    `entry_streams` to extract them from a host HashTable.
+    """
+    ndev = mesh.devices.size
+    assert cfg.n_buckets % ndev == 0
+    n_local = cfg.n_buckets // ndev
+
+    def _local(table, counts, h, e, v):
+        lo = jax.lax.axis_index("d") * n_local
+        return DT.store_packed_local(table, counts, h, e, v, cfg, lo)
+
+    f = shard_map(_local, mesh=mesh,
+                  in_specs=(PS("d", None), PS("d"), PS(), PS(), PS()),
+                  out_specs=(PS("d", None), PS("d")))
+    return jax.jit(f, donate_argnums=(0, 1))
+
+
+def entry_streams(ht, id_offset: int = 0):
+    """Host HashTable -> flat (hashes, entries, valid) replay streams in
+    bucket-major, slot order (== the reference merge's replay order)."""
+    stored = np.minimum(ht.counts, ht.depth)
+    nz = np.nonzero(stored)[0]
+    hashes, entries = [], []
+    for h in nz:
+        k = stored[h]
+        hashes.append(np.full(k, h, np.int32))
+        entries.append(ht.table[h, :k].astype(np.uint32)
+                       + np.uint32(id_offset << ht.maxtimebits))
+    if not hashes:
+        return (np.zeros(0, np.int32), np.zeros(0, np.uint32),
+                np.zeros(0, bool))
+    hs = np.concatenate(hashes)
+    es = np.concatenate(entries)
+    return hs, es, np.ones(len(hs), bool)
+
+
 def dp_fingerprint_fn(mesh: Mesh, cfg):
     """Data-parallel fingerprinting: batch axis sharded over 'd'."""
     from audfprint_tpu.ops import pipeline as pipe

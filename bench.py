@@ -46,7 +46,7 @@ def synth_batch(B: int, n: int, sr: int = 11025) -> np.ndarray:
     return out
 
 
-def measure_device(B: int = 8, dur_sec: float = 20.0, iters: int = 5):
+def measure_device(B: int = 64, dur_sec: float = 20.0, iters: int = 5):
     import jax
     import jax.numpy as jnp
 
@@ -59,21 +59,24 @@ def measure_device(B: int = 8, dur_sec: float = 20.0, iters: int = 5):
     sr = 11025
     n = 1 << 18                     # 262144 samples = 23.8 s bucket
     dur = n / sr
-    base = synth_batch(B, n)
-    # distinct input per iteration: defeats any execution memoization in
-    # the runtime/tunnel and models a real ingest stream
+    base = synth_batch(min(B, 8), n)
+    base = np.tile(base, (max(1, B // min(B, 8)), 1))[:B]
+    # distinct HOST batches per iteration: defeats any execution memoization
+    # in the runtime/tunnel, and the timed loop includes the host->device
+    # transfer (a real ingest stream pays it; pipelined dispatch overlaps it)
     rng = np.random.default_rng(7)
-    batches = [jnp.asarray(base + (0.001 * k) * rng.standard_normal(
-        (B, 1)).astype(np.float32)) for k in range(iters + 1)]
+    batches = [np.ascontiguousarray(
+        base + (0.001 * (k + 1)) * rng.standard_normal(
+            (B, 1)).astype(np.float32)) for k in range(iters + 1)]
     lengths = jnp.asarray(np.full(B, n, np.int32))
 
-    out = jax.block_until_ready(fingerprint_batch(batches[0], lengths, cfg))
+    # warm up + force real completion via host materialization
+    # (block_until_ready does not truly block through the axon tunnel)
+    np.asarray(fingerprint_batch(jnp.asarray(batches[0]), lengths, cfg)[3])
     t0 = time.time()
-    total_hashes = 0
-    for k in range(1, iters + 1):
-        out = jax.block_until_ready(
-            fingerprint_batch(batches[k], lengths, cfg))
-        total_hashes += int(np.asarray(out[3]).sum())  # host materialization
+    outs = [fingerprint_batch(jnp.asarray(b), lengths, cfg)[3]
+            for b in batches[1:]]
+    total_hashes = sum(int(np.asarray(o).sum()) for o in outs)
     elapsed = time.time() - t0
     return B * dur * iters / elapsed, total_hashes
 
