@@ -21,9 +21,10 @@ import time
 import numpy as np
 
 
-def synth_batch(B: int, n: int, sr: int = 11025) -> np.ndarray:
+def synth_batch(B: int, n: int, sr: int = 11025,
+                seed: int = 12345) -> np.ndarray:
     """Music-like batch: harmonic note events + percussive bursts."""
-    rng = np.random.default_rng(12345)
+    rng = np.random.default_rng(seed)
     t = np.arange(n) / sr
     out = np.empty((B, n), np.float32)
     for b in range(B):
@@ -46,7 +47,7 @@ def synth_batch(B: int, n: int, sr: int = 11025) -> np.ndarray:
     return out
 
 
-def measure_device(B: int = 64, dur_sec: float = 20.0, iters: int = 5):
+def measure_device(B: int = 128, dur_sec: float = 20.0, iters: int = 5):
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,227 @@
+"""The five BASELINE.json benchmark configs, scalable via --scale.
+
+  1 self-match sanity     : 10 s WAV `new` + self `match` (bit-compat smoke)
+  2 1k-track clean        : 30 s tracks, exact-segment queries -> P/R + q/s
+  3 noisy + resampled     : 5 s queries, --shifts 4 --density 40
+  4 precompute + merge    : batched .afpt precompute -> shard DBs -> merge
+  5 sharded 100k-track    : bucket-sharded device table, streaming queries
+
+Run:  python benchmarks/baseline_configs.py <config> [--scale 0.1]
+Each prints one JSON line.  --scale shrinks track counts/durations so every
+config also runs on CPU in CI-ish time (scale=1 is the full BASELINE size).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import synth_batch  # noqa: E402
+
+SR = 11025
+
+
+def _analyzer(**kw):
+    from audfprint_tpu.models.analyzer import Analyzer
+    return Analyzer(**kw)
+
+
+def _tracks(n, dur, seed=0):
+    return [synth_batch(1, int(dur * SR), seed=seed * 100003 + i)[0]
+            for i in range(n)]
+
+
+def config1(scale):
+    from audfprint_tpu.cli import main
+    with tempfile.TemporaryDirectory() as d:
+        from audfprint_tpu.utils.audio import audio_write_wav
+        x = synth_batch(1, 10 * SR)[0]
+        wav = os.path.join(d, "t.wav")
+        audio_write_wav(wav, x, SR)
+        db = os.path.join(d, "db.pklz")
+        t0 = time.time()
+        main(["new", "-p", db, wav])
+        out = os.path.join(d, "out.txt")
+        main(["match", "-p", db, "-o", out, wav])
+        ok = "Matched" in open(out).read()
+        return {"config": 1, "self_match": bool(ok),
+                "elapsed_s": round(time.time() - t0, 2)}
+
+
+def _build_db(tracks, analyzer, **htkw):
+    from audfprint_tpu.index.hash_table import HashTable
+    ht = HashTable(**htkw)
+    hashes = analyzer.samples_batch2hashes(tracks)
+    for i, h in enumerate(hashes):
+        ht.store_vectorized(f"t{i}", h)
+    return ht
+
+
+def _pr(results, truths):
+    tp = sum(1 for r, t in zip(results, truths)
+             if len(r) and r[0][0] == t)
+    fp = sum(1 for r, t in zip(results, truths)
+             if len(r) and r[0][0] != t)
+    fn = sum(1 for r in results if not len(r))
+    prec = tp / max(1, tp + fp)
+    rec = tp / max(1, tp + fp + fn)
+    return prec, rec
+
+
+def config2(scale):
+    from audfprint_tpu.match.matcher import Matcher
+    n = max(8, int(1000 * scale))
+    dur = 30.0 if scale >= 0.5 else 10.0
+    an = _analyzer()
+    tracks = _tracks(n, dur)
+    ht = _build_db(tracks, an)
+    rng = np.random.default_rng(1)
+    queries, truths = [], []
+    for i in range(min(n, 64)):
+        s = rng.integers(0, int((dur - 5) * SR))
+        queries.append(tracks[i][s: s + 5 * SR].copy())
+        truths.append(i)
+    qh = an.samples_batch2hashes(queries)
+    m = Matcher()
+    t0 = time.time()
+    results = m.match_hashes_batch(ht, qh)
+    dt = time.time() - t0
+    prec, rec = _pr(results, truths)
+    return {"config": 2, "tracks": n, "precision": round(prec, 3),
+            "recall": round(rec, 3),
+            "match_queries_per_sec": round(len(queries) / dt, 1)}
+
+
+def config3(scale):
+    from audfprint_tpu.match.matcher import Matcher
+    from scipy.signal import resample_poly
+    n = max(8, int(1000 * scale))
+    dur = 30.0 if scale >= 0.5 else 10.0
+    an = _analyzer()
+    tracks = _tracks(n, dur)
+    ht = _build_db(tracks, an)
+    an4 = _analyzer(shifts=4, density=40.0)
+    rng = np.random.default_rng(2)
+    queries, truths = [], []
+    for i in range(min(n, 32)):
+        s = rng.integers(0, int((dur - 5) * SR))
+        clip = tracks[i][s: s + 5 * SR].copy()
+        clip = clip + 0.05 * rng.standard_normal(len(clip)).astype(np.float32)
+        # resample round-trip (codec-ish distortion)
+        clip = resample_poly(resample_poly(clip, 16000, SR),
+                             SR, 16000).astype(np.float32)[: 5 * SR]
+        queries.append(clip)
+        truths.append(i)
+    qh = an4.samples_batch2hashes(queries)
+    results = Matcher().match_hashes_batch(ht, qh)
+    prec, rec = _pr(results, truths)
+    return {"config": 3, "tracks": n, "precision": round(prec, 3),
+            "recall": round(rec, 3)}
+
+
+def config4(scale):
+    from audfprint_tpu.cli import main
+    n = max(8, int(10000 * scale))
+    dur = 5.0
+    with tempfile.TemporaryDirectory() as d:
+        from audfprint_tpu.utils.audio import audio_write_wav
+        tracks = _tracks(n, dur)
+        wavs = []
+        for i, x in enumerate(tracks):
+            p = os.path.join(d, f"t{i}.wav")
+            audio_write_wav(p, x, SR)
+            wavs.append(p)
+        t0 = time.time()
+        pre = os.path.join(d, "pre")
+        main(["precompute", "--precompdir", pre, "-o", os.devnull, *wavs])
+        afpts = [os.path.join(pre, w.lstrip("/")).replace(".wav", ".afpt")
+                 for w in wavs]
+        half = len(afpts) // 2
+        db1, db2 = os.path.join(d, "a.pklz"), os.path.join(d, "b.pklz")
+        main(["new", "-p", db1, "-o", os.devnull, *afpts[:half]])
+        main(["new", "-p", db2, "-o", os.devnull, *afpts[half:]])
+        dbm = os.path.join(d, "m.pklz")
+        main(["newmerge", "-p", dbm, "-o", os.devnull, db1, db2])
+        elapsed = time.time() - t0
+        from audfprint_tpu.index.hash_table import HashTable
+        ht = HashTable(dbm)
+        return {"config": 4, "tracks": n,
+                "total_hashes": ht.totalhashes(),
+                "pipeline_audio_sec_per_sec": round(n * dur / elapsed, 1)}
+
+
+def config5(scale):
+    import jax.numpy as jnp
+
+    from audfprint_tpu.index import device_table as DT
+    from audfprint_tpu.match import voting
+    from audfprint_tpu.parallel import sharded
+    import jax
+    n_tracks = max(64, int(100000 * scale))
+    hpt = 300
+    ndev = jax.device_count()
+    tcfg = DT.TableConfig()
+    mesh = sharded.make_mesh(ndev)
+    table, counts = sharded.empty_sharded_table(mesh, tcfg)
+    store = sharded.sharded_store_fn(mesh, tcfg)
+    rng = np.random.default_rng(3)
+    B = 256
+    t0 = time.time()
+    queries = None
+    for i0 in range(0, n_tracks, B):
+        nb = min(B, n_tracks - i0)
+        tt = rng.integers(0, tcfg.maxtime, (B, hpt)).astype(np.int32)
+        hh = rng.integers(0, 1 << 20, (B, hpt)).astype(np.int32)
+        vv = np.zeros((B, hpt), bool)
+        vv[:nb] = True
+        ids = (i0 + np.arange(B)).astype(np.int32)
+        table, counts = store(table, counts, jnp.asarray(tt),
+                              jnp.asarray(hh), jnp.asarray(vv),
+                              jnp.asarray(ids))
+        if queries is None:   # keep the first batch as query source
+            queries = (tt.copy(), hh.copy())
+    np.asarray(counts)  # sync
+    build_s = time.time() - t0
+    # streaming batched queries: sample 100 hashes per track from batch 0
+    QB, Q = 32, 128
+    qt = np.maximum(0, queries[0][:QB, :Q] - 3)
+    qh = queries[1][:QB, :Q]
+    qv = np.ones((QB, Q), bool)
+    hpi = np.full(1 << 17, hpt, np.int32)
+    mcfg = voting.MatchConfig(qt_cap=512, n_ids_cap=1 << 17)
+    match = sharded.sharded_match_fn(mesh, tcfg, mcfg)
+    out = match(table, counts, jnp.asarray(hpi), jnp.asarray(qt),
+                jnp.asarray(qh), jnp.asarray(qv))
+    ids0 = np.asarray(out["ids"])[:, 0]
+    t0 = time.time()
+    out = match(table, counts, jnp.asarray(hpi), jnp.asarray(qt + 1),
+                jnp.asarray(qh), jnp.asarray(qv))
+    np.asarray(out["ids"])
+    q_s = time.time() - t0
+    acc = float((ids0 == np.arange(QB)).mean())
+    return {"config": 5, "tracks": n_tracks, "devices": ndev,
+            "build_s": round(build_s, 1), "top1_self": acc,
+            "queries_per_sec": round(QB / q_s, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", type=int, choices=[1, 2, 3, 4, 5])
+    ap.add_argument("--scale", type=float, default=1.0)
+    args = ap.parse_args()
+    import audfprint_tpu.utils.jaxconfig as jc
+    jc.setup()
+    fn = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    print(json.dumps(fn[args.config](args.scale)))
+
+
+if __name__ == "__main__":
+    main()
