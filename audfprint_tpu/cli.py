@@ -22,7 +22,6 @@ import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-import numpy as np
 
 from audfprint_tpu import params as P
 from audfprint_tpu.index.hash_table import HashTable

@@ -77,10 +77,12 @@ class Matcher:
         table, counts, hpi, tcfg, ncap = self._device_state(ht)
         B = len(hash_lists)
         maxn = max([1] + [len(h) for h in hash_lists])
-        Q = _next_pow2(maxn, 128)
+        # generous floors so typical query sizes share ONE compiled graph
+        # (TPU compiles are the expensive resource, padding is cheap)
+        Q = _next_pow2(maxn, 512)
         maxt = max([1] + [int(h[:, 0].max()) + 1 for h in hash_lists
                           if len(h)])
-        qt_cap = _next_pow2(min(maxt, 1 << 13), 512)
+        qt_cap = _next_pow2(min(maxt, 1 << 13), 2048)
         tt = np.zeros((B, Q), np.int32)
         hh = np.zeros((B, Q), np.int32)
         vv = np.zeros((B, Q), bool)
