@@ -203,13 +203,24 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
         for n in skipped:
             report(f"skipping existing {n}")
     B = max(1, args.batchsize)
-    for i in range(0, len(names), B):
-        chunk = names[i: i + B]
+    chunks = [names[i: i + B] for i in range(0, len(names), B)]
+
+    def _decode_chunk(chunk):
         precomp = [n for n in chunk
                    if os.path.splitext(n)[1] == formats.PRECOMPEXT]
         wavs = [n for n in chunk if n not in precomp]
+        signals = _decode_many(analyzer, wavs, args.ncores, report)
+        return precomp, wavs, signals
+
+    # prefetch pipeline: decode chunk i+1 on a host thread while the device
+    # fingerprints chunk i (the TPU-era QueueReaderThread, SURVEY §2.2)
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(_decode_chunk, chunks[0]) if chunks else None
+    for ci in range(len(chunks)):
         with stages.time("decode"):
-            signals = _decode_many(analyzer, wavs, args.ncores, report)
+            precomp, wavs, signals = pending.result()
+        pending = (pool.submit(_decode_chunk, chunks[ci + 1])
+                   if ci + 1 < len(chunks) else None)
         good = [(n, d) for n, d in zip(wavs, signals) if d is not None]
         if good:
             with stages.time("analyze"):
@@ -231,6 +242,7 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
             n_done += 1
             report(f"ingested #{n_done}: {name} "
                    f"({dur:.1f} s, {len(h)} hashes)")
+    pool.shutdown(wait=False)
     return n_done, tot_dur
 
 

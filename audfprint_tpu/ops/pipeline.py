@@ -62,11 +62,12 @@ def _use_pallas(impl: str, T: int, cfg: PipelineConfig) -> bool:
         return False
     if impl == "pallas":
         return True
-    # auto: the fused kernel's VMEM scratch bounds T; CPU uses the XLA path
-    # (interpret-mode pallas is for tests)
+    # auto: the fused kernel streams the time axis (VMEM is T-independent),
+    # so any clip length qualifies; CPU uses the XLA path (interpret-mode
+    # pallas is for tests)
     import jax as _jax
     return (_jax.default_backend() == "tpu"
-            and cfg.n_bins == 256 and 0 < T <= 1024)
+            and cfg.n_bins == 256 and T > 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "impl"))

@@ -172,3 +172,15 @@ def test_shifts_and_density_flags(fixture_dir, tmp_path, capsys):
     out = _run(capsys, ["match", "-p", db, *COMMON,
                         fixture_dir / "query.wav"])
     assert "Warning: database" in out
+
+
+def test_json_metrics_and_verbose_stages(fixture_dir, tmp_path, capsys):
+    import json
+    db = tmp_path / "jm.pklz"
+    metrics = tmp_path / "m.json"
+    _run(capsys, ["new", "-p", db, *COMMON, "-v", "2",
+                  "--json-metrics", metrics, fixture_dir / "track0.wav"])
+    data = json.loads(metrics.read_text())
+    assert data["command"] == "new" and data["n_files"] == 1
+    assert "analyze" in data["stage_seconds"]
+    assert "store" in data["stage_seconds"]
