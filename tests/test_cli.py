@@ -184,3 +184,20 @@ def test_json_metrics_and_verbose_stages(fixture_dir, tmp_path, capsys):
     assert data["command"] == "new" and data["n_files"] == 1
     assert "analyze" in data["stage_seconds"]
     assert "store" in data["stage_seconds"]
+
+
+def test_wavdir_wavext(fixture_dir, tmp_path, capsys):
+    db = tmp_path / "wd.pklz"
+    _run(capsys, ["new", "-p", db, *COMMON, "-W", fixture_dir, "-V", ".wav",
+                  "track0", "track1"])
+    out = _run(capsys, ["match", "-p", db, *COMMON, "-W", fixture_dir,
+                        "-V", ".wav", "query"])
+    assert "Matched" in out and "track1.wav" in out
+
+
+def test_illustrate_flag_writes_png(fixture_dir, tmp_path, capsys):
+    db = tmp_path / "il.pklz"
+    _run(capsys, ["new", "-p", db, *COMMON, fixture_dir / "track1.wav"])
+    _run(capsys, ["match", "-p", db, *COMMON, "-I", fixture_dir / "query.wav"])
+    png = str(fixture_dir / "query.wav.match.png")
+    assert os.path.exists(png) and os.path.getsize(png) > 10000
