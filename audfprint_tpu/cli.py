@@ -246,38 +246,64 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
     return n_done, tot_dur
 
 
+def _precomp_outname(name: str, args, ext: str) -> str:
+    outname = os.path.splitext(name)[0] + ext
+    if args.precompdir not in ("", "."):
+        outname = os.path.join(args.precompdir,
+                               os.path.normpath(outname).lstrip(os.sep))
+    return outname
+
+
 def do_precompute(analyzer: Analyzer, names: list, args,
                   report) -> tuple[int, float]:
+    """Batched precompute: the designed bulk-ingest front half (SURVEY §3.3:
+    embarrassingly parallel; here files are fingerprinted in device batches
+    and `.afpt` written per input)."""
     tot_dur = 0.0
     n_done = 0
     ext = formats.PRECOMPPKEXT if args.precompute_peaks else formats.PRECOMPEXT
+    todo = []
     for name in names:
-        outname = os.path.splitext(name)[0] + ext
-        if args.precompdir not in ("", "."):
-            outname = os.path.join(args.precompdir,
-                                   os.path.normpath(outname).lstrip(os.sep))
+        outname = _precomp_outname(name, args, ext)
         if args.skip_existing and os.path.exists(outname):
             report(f"skipping existing {outname}")
             continue
-        os.makedirs(os.path.dirname(outname) or ".", exist_ok=True)
-        try:
-            if args.precompute_peaks:
+        todo.append((name, outname))
+
+    if args.precompute_peaks:
+        for name, outname in todo:
+            try:
                 peaks = analyzer.wavfile2peaks(name)
-                formats.peaks_save(outname, peaks)
-                nitems = len(peaks)
-            else:
-                hashes = analyzer.wavfile2hashes(name)
-                formats.hashes_save(outname, hashes)
-                nitems = len(hashes)
-        except audio_io.DecodeError as e:
-            if analyzer.fail_on_error:
-                raise
-            report(f"Error reading {name}: {e}")
+            except audio_io.DecodeError as e:
+                if analyzer.fail_on_error:
+                    raise
+                report(f"Error reading {name}: {e}")
+                continue
+            os.makedirs(os.path.dirname(outname) or ".", exist_ok=True)
+            formats.peaks_save(outname, peaks)
+            tot_dur += analyzer.soundfiledur
+            n_done += 1
+            report(f"wrote {outname} ( {len(peaks)} peaks, "
+                   f"{analyzer.soundfiledur:.1f} sec)")
+        return n_done, tot_dur
+
+    B = max(1, args.batchsize)
+    for i in range(0, len(todo), B):
+        chunk = todo[i: i + B]
+        signals = _decode_many(analyzer, [n for n, _ in chunk],
+                               args.ncores, report)
+        good = [(n, o, d) for (n, o), d in zip(chunk, signals)
+                if d is not None]
+        if not good:
             continue
-        tot_dur += analyzer.soundfiledur
-        n_done += 1
-        report(f"wrote {outname} ( {nitems} hashes, "
-               f"{analyzer.soundfiledur:.1f} sec)")
+        hashes = analyzer.samples_batch2hashes([d for _, _, d in good])
+        for (name, outname, d), h in zip(good, hashes):
+            os.makedirs(os.path.dirname(outname) or ".", exist_ok=True)
+            formats.hashes_save(outname, h)
+            dur = len(d) / analyzer.target_sr
+            tot_dur += dur
+            n_done += 1
+            report(f"wrote {outname} ( {len(h)} hashes, {dur:.1f} sec)")
     return n_done, tot_dur
 
 

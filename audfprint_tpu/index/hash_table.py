@@ -58,6 +58,7 @@ class HashTable:
         self.params: dict = {}
         self.ht_version = HT_VERSION
         self.dirty = False
+        self.rev = 0          # bumped on every mutation (device-cache key)
 
     # -- id management ------------------------------------------------------
 
@@ -94,6 +95,7 @@ class HashTable:
             self.counts[hash_] = count + 1
         self.hashesperid[id_] += len(timehashpairs)
         self.dirty = True
+        self.rev += 1
 
     def store_vectorized(self, name, timehashpairs) -> None:
         """Vectorized host store, bit-identical to `store`.
@@ -134,6 +136,7 @@ class HashTable:
         np.add.at(self.counts, hs, 1)
         self.hashesperid[id_] += n
         self.dirty = True
+        self.rev += 1
 
     def get_entry(self, hash_) -> np.ndarray:
         """(id, time) rows currently stored for one hash."""
@@ -202,6 +205,7 @@ class HashTable:
         if not self.params and other.params:
             self.params = dict(other.params)
         self.dirty = True
+        self.rev += 1
 
     def remove(self, name) -> None:
         """Delete all entries for `name`, compacting buckets (O(table))."""
@@ -220,6 +224,7 @@ class HashTable:
         self.names[id_] = None
         self.hashesperid[id_] = 0
         self.dirty = True
+        self.rev += 1
 
     def list(self, print_fn=None) -> list:
         print_fn = print_fn or print
@@ -238,6 +243,7 @@ class HashTable:
         self.names = []
         self.hashesperid = np.zeros(0, dtype=np.int64)
         self.dirty = True
+        self.rev += 1
 
     # -- persistence --------------------------------------------------------
 
@@ -294,6 +300,7 @@ class HashTable:
         self.hashesperid = state["hashesperid"]
         self.params = state.get("params", {})
         self.dirty = False
+        self.rev = getattr(self, "rev", 0) + 1
         nhashes = self.totalhashes()
         nfiles = sum(1 for n in self.names if n is not None)
         print(f"Read fprints for {nfiles} files ({nhashes} hashes) from {name}")

@@ -52,7 +52,8 @@ class Matcher:
     # -- device cache -----------------------------------------------------
 
     def _device_state(self, ht):
-        rev = (id(ht), ht.totalhashes(), len(ht.names))
+        rev = (id(ht), getattr(ht, "rev", None),
+               ht.totalhashes(), len(ht.names))
         if self._dev is None or self._dev[0] != rev:
             import jax
             table, counts, tcfg = DT.table_to_device(ht)

@@ -168,12 +168,15 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
         keys = (k_first, jnp.where(keep, mode_bin, _I32MAX), -filt, rank_iota)
     else:
         keys = (k_first, -filt, rank_iota)
-    sortin = keys + (cand_ids, filt, mode_bin, cand_raw, min_t, max_t,
-                     keep.astype(jnp.int32))
-    sorted_all = jax.lax.sort(sortin, num_keys=len(keys))
-    out = sorted_all[len(keys):]
+    # sort only the keys (the last, unique key doubles as the permutation)
+    # and gather the payloads — a much smaller comparator than a variadic
+    # 10-operand sort (compile-size matters on this target)
+    *_, perm = jax.lax.sort(keys, num_keys=len(keys))
+    sel = perm[:, : mcfg.max_returns]
+    take = lambda a: jnp.take_along_axis(a, sel, axis=1)  # noqa: E731
     r_ids, r_filt, r_mode, r_raw, r_min, r_max, r_keep = (
-        a[:, : mcfg.max_returns] for a in out)
+        take(cand_ids), take(filt), take(mode_bin), take(cand_raw),
+        take(min_t), take(max_t), take(keep.astype(jnp.int32)))
     return {
         "ids": r_ids,
         "filtcount": r_filt,

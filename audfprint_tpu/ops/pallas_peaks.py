@@ -9,14 +9,17 @@ this kernel keeps every carry in VMEM and runs both passes back-to-back:
   layout    : work arrays are (B_tile, 256) — batch on sublanes, freq on
               lanes (256 = 2x128 lanes), the natural VPU shape; no
               narrower-than-lane tensors anywhere (Mosaic-friendly)
-  streaming : the (T, B, F) spectrogram stays in HBM; each time step's
-              (B, F) slab is DMA'd in with double buffering
+  streaming : the (T, B, F) spectrogram stays in HBM and is streamed
+              through VMEM in CHUNK-frame slabs with double-buffered DMA
+              (one DMA wait per 8 frames, not per frame)
   fwd pass  : HPF recurrence -> locmax -> top-k by (val desc, pos desc)
               via k argmax/mask iterations -> envelope raise via a
               ONE-HOT MATMUL against the tabulated gaussian (MXU does the
-              row gather exactly: val * gtab[pos]) -> decay.
-              Emits a sparse VALUE MAP per frame (accepted peaks keep their
-              value, everything else -inf), streamed back to HBM.
+              row gather exactly: 0/1 one-hot at HIGHEST precision; the
+              val*g product stays on the VPU in f32 — folding val into
+              the matmul would round through the bf16 splits and break
+              bit-compat).  Emits a sparse VALUE MAP per frame (accepted
+              peaks keep their value, everything else -inf).
   bwd pass  : streams the value maps in reverse; candidates re-extracted
               with the same argmax trick (identical (val desc, pos desc)
               order), sequential within-frame acceptance, same one-hot MXU
@@ -44,6 +47,7 @@ from audfprint_tpu.ops.config import PipelineConfig
 
 _NEG = -3.0e38  # python float: jnp scalars at module level would be
                 # captured constants, which pallas_call rejects
+CHUNK = 8       # frames per DMA slab
 
 
 def _kernel(sgram_hbm, nf_ref, env0f_ref, gtab_ref,
@@ -53,27 +57,37 @@ def _kernel(sgram_hbm, nf_ref, env0f_ref, gtab_ref,
             sth, xprev, yprev, lastcol,
             *, T: int, B: int, F: int, k: int, pole: float, a_dec: float,
             gsize: int, f_sd: float):
+    C = CHUNK
+    NC = T // C
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, F), 1)
     nfb = nf_ref[:]                     # (B, 1) int32
     a = jnp.float32(a_dec)
     pol = jnp.float32(pole)
     neg = jnp.float32(_NEG)
 
-    def dma_in(slot, t):
+    def dma_in(slot, c):
         return pltpu.make_async_copy(
-            sgram_hbm.at[t], xbuf.at[slot], in_sem.at[slot])
+            sgram_hbm.at[pl.ds(c * C, C)], xbuf.at[slot], in_sem.at[slot])
 
-    def dma_val_in(slot, t):
+    def dma_val_in(slot, c):
         return pltpu.make_async_copy(
-            valmap_hbm.at[t], xbuf.at[slot], in_sem.at[slot])
+            valmap_hbm.at[pl.ds(c * C, C)], xbuf.at[slot], in_sem.at[slot])
 
-    def dma_val_out(slot, t):
+    def dma_val_out(slot, c):
         return pltpu.make_async_copy(
-            vbuf.at[slot], valmap_hbm.at[t], out_sem.at[slot])
+            vbuf.at[slot], valmap_hbm.at[pl.ds(c * C, C)], out_sem.at[slot])
 
-    def dma_kept_out(slot, t):
+    def dma_kept_out(slot, c):
         return pltpu.make_async_copy(
-            kbuf.at[slot], keptmap_hbm.at[t], kout_sem.at[slot])
+            kbuf.at[slot], keptmap_hbm.at[pl.ds(c * C, C)], kout_sem.at[slot])
+
+    def raise_env(oh_rows):
+        """0/1 one-hot rows (n*B, F) -> exact gtab row gather via MXU."""
+        return jax.lax.dot_general(
+            oh_rows, gtab_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
     # ---- forward pass (HPF fused) ----
     sth[:] = env0f_ref[:]
@@ -82,68 +96,62 @@ def _kernel(sgram_hbm, nf_ref, env0f_ref, gtab_ref,
     lastcol[:] = jnp.zeros((B, F), jnp.float32)
     dma_in(0, 0).start()
 
-    def fwd_body(t, _):
-        slot = jax.lax.rem(t, 2)
+    def fwd_chunk(c, _):
+        slot = jax.lax.rem(c, 2)
 
-        @pl.when(t + 1 < T)
+        @pl.when(c + 1 < NC)
         def _():
-            dma_in(1 - slot, t + 1).start()
+            dma_in(1 - slot, c + 1).start()
 
-        dma_in(slot, t).wait()
-        x = xbuf[slot]
-        y = (x - xprev[:]) + pol * yprev[:]
-        xprev[:] = x
-        yprev[:] = y
-        active = t < nfb                               # (B,1)
-        # record the last valid column for the bwd init envelope
-        lastcol[:] = jnp.where(t == nfb - 1, y, lastcol[:])
-        # locmax (reference convention)
-        yl = pltpu.roll(y, 1, 1)                       # y[:, j-1]
-        yr = pltpu.roll(y, F - 1, 1)                   # y[:, j+1]
-        rise = (y >= yl) | (lane == 0)
-        fall = (lane == F - 1) | ~(yr >= y)
-        cand = rise & fall & (y > sth[:]) & active
-        m = jnp.where(cand, y, neg)
-        # top-k by (val desc, pos desc), one slot at a time
-        oh_rows = []
-        vals = []
-        accmask = jnp.zeros((B, F), bool)
-        for i in range(k):
-            v = jnp.max(m, axis=1, keepdims=True)          # (B,1)
-            p = jnp.max(jnp.where(m == v, lane, -1), axis=1,
-                        keepdims=True)                      # highest pos
-            onehot = (lane == p) & (v > neg)
-            # PURE 0/1 one-hot: the MXU gather (1.0 * g) is exact at
-            # HIGHEST precision; folding v in here would round the product
-            # through the bf16 splits and break bit-compat with the oracle.
-            oh_rows.append(
-                jnp.where(onehot, 1.0, 0.0).astype(jnp.float32))
-            vals.append(jnp.where(v > neg, v, 0.0))
-            accmask = accmask | onehot
-            m = jnp.where(onehot, neg, m)
-        # envelope raise: (k*B, F) @ (F, F) one-hot matmul == exact row
-        # gather; the val*g product happens on the VPU in f32
-        rows = jax.lax.dot_general(
-            jnp.concatenate(oh_rows, axis=0), gtab_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST).reshape(k, B, F)
-        contrib = rows * jnp.stack(vals, axis=0)           # (k,B,1) bcast
-        sth[:] = jnp.maximum(sth[:], jnp.max(contrib, axis=0)) * a
-        # stream out the sparse value map
-        @pl.when(t >= 2)
+        dma_in(slot, c).wait()
+
+        @pl.when(c >= 2)
         def _():
-            dma_val_out(slot, t - 2).wait()
-        vbuf[slot] = jnp.where(accmask, y, neg)
-        dma_val_out(slot, t).start()
+            dma_val_out(slot, c - 2).wait()
+
+        for j in range(C):
+            t = c * C + j
+            x = xbuf[slot, j]
+            y = (x - xprev[:]) + pol * yprev[:]
+            xprev[:] = x
+            yprev[:] = y
+            active = t < nfb                           # (B,1)
+            lastcol[:] = jnp.where(t == nfb - 1, y, lastcol[:])
+            # locmax (reference convention)
+            yl = pltpu.roll(y, 1, 1)                   # y[:, j-1]
+            yr = pltpu.roll(y, F - 1, 1)               # y[:, j+1]
+            rise = (y >= yl) | (lane == 0)
+            fall = (lane == F - 1) | ~(yr >= y)
+            cand = rise & fall & (y > sth[:]) & active
+            m = jnp.where(cand, y, neg)
+            # top-k by (val desc, pos desc), one slot at a time
+            oh_rows = []
+            vals = []
+            accmask = jnp.zeros((B, F), bool)
+            for i in range(k):
+                v = jnp.max(m, axis=1, keepdims=True)      # (B,1)
+                p = jnp.max(jnp.where(m == v, lane, -1), axis=1,
+                            keepdims=True)                  # highest pos
+                onehot = (lane == p) & (v > neg)
+                oh_rows.append(
+                    jnp.where(onehot, 1.0, 0.0).astype(jnp.float32))
+                vals.append(jnp.where(v > neg, v, 0.0))
+                accmask = accmask | onehot
+                m = jnp.where(onehot, neg, m)
+            rows = raise_env(jnp.concatenate(oh_rows, axis=0)).reshape(
+                k, B, F)
+            contrib = rows * jnp.stack(vals, axis=0)       # (k,B,1) bcast
+            sth[:] = jnp.maximum(sth[:], jnp.max(contrib, axis=0)) * a
+            vbuf[slot, j] = jnp.where(accmask, y, neg)
+        dma_val_out(slot, c).start()
         return 0
 
-    jax.lax.fori_loop(0, T, fwd_body, 0)
-    dma_val_out(jax.lax.rem(T - 1, 2), T - 1).wait()
+    jax.lax.fori_loop(0, NC, fwd_chunk, 0)
+    dma_val_out(jax.lax.rem(NC - 1, 2), NC - 1).wait()
 
-    @pl.when(T >= 2)
+    @pl.when(NC >= 2)
     def _():
-        dma_val_out(jax.lax.rem(T - 2, 2), T - 2).wait()
+        dma_val_out(jax.lax.rem(NC - 2, 2), NC - 2).wait()
 
     lastcol_out[:] = lastcol[:]
 
@@ -166,51 +174,50 @@ def _kernel(sgram_hbm, nf_ref, env0f_ref, gtab_ref,
     sth[:] = env
 
     # ---- backward pass (streams valmap in reverse) ----
-    dma_val_in(jax.lax.rem(T - 1, 2), T - 1).start()
+    dma_val_in(jax.lax.rem(NC - 1, 2), NC - 1).start()
 
-    def bwd_body(i, _):
-        t = T - 1 - i
-        slot = jax.lax.rem(t, 2)
+    def bwd_chunk(i, _):
+        c = NC - 1 - i
+        slot = jax.lax.rem(c, 2)
 
-        @pl.when(t - 1 >= 0)
+        @pl.when(c - 1 >= 0)
         def _():
-            dma_val_in(1 - slot, t - 1).start()
+            dma_val_in(1 - slot, c - 1).start()
 
-        dma_val_in(slot, t).wait()
-        m = xbuf[slot]
-        sth[:] = jnp.where(t == nfb - 1, env, sth[:])
-        valid_t = (t < nfb)                            # (B,1)
-        keptmask = jnp.zeros((B, F), bool)
-        for _i2 in range(k):
-            v = jnp.max(m, axis=1, keepdims=True)
-            p = jnp.max(jnp.where(m == v, lane, -1), axis=1, keepdims=True)
-            onehot = (lane == p) & (v > neg)
-            m = jnp.where(onehot, neg, m)
-            cur = jnp.max(jnp.where(onehot, sth[:], neg), axis=1,
-                          keepdims=True)
-            keep = (v > neg) & valid_t & (v >= cur)
-            oh01 = jnp.where(onehot & keep, 1.0, 0.0).astype(jnp.float32)
-            row = jax.lax.dot_general(
-                oh01, gtab_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            contrib = row * jnp.where(keep, v, 0.0)
-            sth[:] = jnp.maximum(sth[:], contrib)
-            keptmask = keptmask | (onehot & keep)
-        sth[:] = sth[:] * a
+        dma_val_in(slot, c).wait()
 
         @pl.when(i >= 2)
         def _():
-            dma_kept_out(slot, t + 2).wait()
-        kbuf[slot] = jnp.where(keptmask, 1.0, 0.0).astype(jnp.float32)
-        dma_kept_out(slot, t).start()
+            dma_kept_out(slot, c + 2).wait()
+
+        for j in range(C - 1, -1, -1):
+            t = c * C + j
+            m = xbuf[slot, j]
+            sth[:] = jnp.where(t == nfb - 1, env, sth[:])
+            valid_t = t < nfb                          # (B,1)
+            keptmask = jnp.zeros((B, F), bool)
+            for _i2 in range(k):
+                v = jnp.max(m, axis=1, keepdims=True)
+                p = jnp.max(jnp.where(m == v, lane, -1), axis=1,
+                            keepdims=True)
+                onehot = (lane == p) & (v > neg)
+                m = jnp.where(onehot, neg, m)
+                cur = jnp.max(jnp.where(onehot, sth[:], neg), axis=1,
+                              keepdims=True)
+                keep = (v > neg) & valid_t & (v >= cur)
+                oh01 = jnp.where(onehot & keep, 1.0, 0.0).astype(jnp.float32)
+                contrib = raise_env(oh01) * jnp.where(keep, v, 0.0)
+                sth[:] = jnp.maximum(sth[:], contrib)
+                keptmask = keptmask | (onehot & keep)
+            sth[:] = sth[:] * a
+            kbuf[slot, j] = jnp.where(keptmask, 1.0, 0.0).astype(jnp.float32)
+        dma_kept_out(slot, c).start()
         return 0
 
-    jax.lax.fori_loop(0, T, bwd_body, 0)
+    jax.lax.fori_loop(0, NC, bwd_chunk, 0)
     dma_kept_out(0, 0).wait()
 
-    @pl.when(T >= 2)
+    @pl.when(NC >= 2)
     def _():
         dma_kept_out(1, 1).wait()
 
@@ -231,16 +238,16 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
     B, T, F = sgram.shape
     k = cfg.maxpksperframe
     Bp = _pad_b(B)
-    if Bp != B:
-        sgram = jnp.concatenate(
-            [sgram, jnp.zeros((Bp - B, T, F), sgram.dtype)], axis=0)
+    Tp = ((T + CHUNK - 1) // CHUNK) * CHUNK
+    if Bp != B or Tp != T:
+        sgram = jnp.pad(sgram, ((0, Bp - B), (0, Tp - T), (0, 0)))
         n_frames = jnp.concatenate(
             [n_frames, jnp.zeros(Bp - B, n_frames.dtype)])
     gtab = jnp.asarray(PKref._gauss_table(cfg))
     # fwd init env: spread of per-bin max over first <=10 HPF'd frames —
     # computed in XLA on the (tiny) head slice, matching ops.peaks.fwd_prune
     head = jnp.minimum(10, jnp.maximum(1, n_frames))
-    T10 = min(10, T)
+    T10 = min(10, Tp)
     pole = jnp.float32(cfg.hpf_pole ** (1.0 / P.OVERSAMP))
 
     def hpf_step(carry, x):
@@ -256,7 +263,7 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
     vmax = jnp.where(jnp.isfinite(vmax), vmax, 0.0)
     env0f = PKref._spread_vector(vmax, gtab)
 
-    sg_tm = jnp.transpose(sgram, (1, 0, 2))          # (T, Bp, F)
+    sg_tm = jnp.transpose(sgram, (1, 0, 2))          # (Tp, Bp, F)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(1,),
@@ -267,14 +274,14 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
             pl.BlockSpec(memory_space=pltpu.VMEM),    # gtab
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),        # valmap (T,Bp,F) HBM
-            pl.BlockSpec(memory_space=pl.ANY),        # keptmap (T,Bp,F) HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # valmap (Tp,Bp,F) HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # keptmap (Tp,Bp,F) HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),    # lastcol
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, Bp, F), jnp.float32),      # stream-in buffer
-            pltpu.VMEM((2, Bp, F), jnp.float32),      # valmap out buffer
-            pltpu.VMEM((2, Bp, F), jnp.float32),      # keptmap out buffer
+            pltpu.VMEM((2, CHUNK, Bp, F), jnp.float32),  # stream-in
+            pltpu.VMEM((2, CHUNK, Bp, F), jnp.float32),  # valmap out
+            pltpu.VMEM((2, CHUNK, Bp, F), jnp.float32),  # keptmap out
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -285,23 +292,23 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
         ],
     )
     kern = functools.partial(
-        _kernel, T=T, B=Bp, F=F, k=k,
+        _kernel, T=Tp, B=Bp, F=F, k=k,
         pole=float(cfg.hpf_pole ** (1.0 / P.OVERSAMP)),
         a_dec=float(cfg.a_dec), gsize=cfg.gsize, f_sd=float(cfg.f_sd))
     valmap, keptmap, lastcol = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, Bp, F), jnp.float32),
-            jax.ShapeDtypeStruct((T, Bp, F), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp, F), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp, F), jnp.float32),
             jax.ShapeDtypeStruct((Bp, F), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(sg_tm, n_frames[:, None].astype(jnp.int32), env0f, gtab)
-    valmap = jnp.transpose(valmap, (1, 0, 2))[:B]
-    keptmap = jnp.transpose(keptmap, (1, 0, 2))[:B]
+    valmap = jnp.transpose(valmap, (1, 0, 2))[:B, :T]
+    keptmap = jnp.transpose(keptmap, (1, 0, 2))[:B, :T]
     return valmap, keptmap
 
 
