@@ -13,17 +13,16 @@ this kernel keeps every carry in VMEM and runs both passes back-to-back:
               through VMEM in CHUNK-frame slabs with double-buffered DMA
               (one DMA wait per 8 frames, not per frame)
   fwd pass  : HPF recurrence -> locmax -> top-k by (val desc, pos desc)
-              via k argmax/mask iterations -> envelope raise via a
-              ONE-HOT MATMUL against the tabulated gaussian (MXU does the
-              row gather exactly: 0/1 one-hot at HIGHEST precision; the
-              val*g product stays on the VPU in f32 — folding val into
-              the matmul would round through the bf16 splits and break
-              bit-compat).  Emits a sparse VALUE MAP per frame (accepted
+              via k argmax/mask iterations -> envelope raise by gathering
+              the tabulated gaussian row with a PER-ROW VARIABLE ROLL
+              (log2(F) conditional whole-array rolls — pure data movement,
+              bit-exact, no MXU precision passes; val*g multiplies on the
+              VPU in f32).  Emits a sparse VALUE MAP per frame (accepted
               peaks keep their value, everything else -inf).
   bwd pass  : streams the value maps in reverse; candidates re-extracted
               with the same argmax trick (identical (val desc, pos desc)
-              order), sequential within-frame acceptance, same one-hot MXU
-              envelope raise.  Emits a 0/1 kept map per frame.
+              order), sequential within-frame acceptance, same variable-
+              roll envelope raise.  Emits a 0/1 kept map per frame.
 
 Because per-frame state is only (B, F), VMEM use is T-independent — any
 clip length streams.  The XLA glue (find_peaks_mask_fused) applies the
@@ -50,7 +49,7 @@ _NEG = -3.0e38  # python float: jnp scalars at module level would be
 CHUNK = 8       # frames per DMA slab
 
 
-def _kernel(sgram_hbm, nf_ref, env0f_ref, gtab_ref,
+def _kernel(sgram_hbm, nf_ref, env0f_ref, gbase_ref,
             valmap_hbm, keptmap_hbm, lastcol_out,
             # scratch
             xbuf, vbuf, kbuf, in_sem, out_sem, kout_sem,
@@ -81,13 +80,20 @@ def _kernel(sgram_hbm, nf_ref, env0f_ref, gtab_ref,
         return pltpu.make_async_copy(
             kbuf.at[slot], keptmap_hbm.at[pl.ds(c * C, C)], kout_sem.at[slot])
 
-    def raise_env(oh_rows):
-        """0/1 one-hot rows (n*B, F) -> exact gtab row gather via MXU."""
-        return jax.lax.dot_general(
-            oh_rows, gtab_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+    def gather_bump(pos, ok):
+        """Exact gaussian-bump row centered at per-row `pos` (B,1).
+
+        gbase holds the tabulated template centered at lane 0; a per-row
+        variable roll is realized as log2(F) conditional whole-array rolls
+        (pure data movement — bit-exact, no MXU precision passes).  Lanes
+        outside the +/-gsize support (including wrap-around) are masked.
+        """
+        row = gbase_ref[:] + jnp.zeros((B, F), jnp.float32)
+        pc = jnp.maximum(pos, 0)
+        for kb in range(8):          # F == 256
+            bit = (pc >> kb) & 1
+            row = jnp.where(bit == 1, pltpu.roll(row, 1 << kb, 1), row)
+        return jnp.where(ok & (jnp.abs(lane - pos) <= gsize), row, 0.0)
 
     # ---- forward pass (HPF fused) ----
     sth[:] = env0f_ref[:]
@@ -125,23 +131,19 @@ def _kernel(sgram_hbm, nf_ref, env0f_ref, gtab_ref,
             cand = rise & fall & (y > sth[:]) & active
             m = jnp.where(cand, y, neg)
             # top-k by (val desc, pos desc), one slot at a time
-            oh_rows = []
-            vals = []
             accmask = jnp.zeros((B, F), bool)
+            newenv = jnp.zeros((B, F), jnp.float32)
             for i in range(k):
                 v = jnp.max(m, axis=1, keepdims=True)      # (B,1)
                 p = jnp.max(jnp.where(m == v, lane, -1), axis=1,
                             keepdims=True)                  # highest pos
-                onehot = (lane == p) & (v > neg)
-                oh_rows.append(
-                    jnp.where(onehot, 1.0, 0.0).astype(jnp.float32))
-                vals.append(jnp.where(v > neg, v, 0.0))
+                got = v > neg
+                onehot = (lane == p) & got
+                newenv = jnp.maximum(
+                    newenv, gather_bump(p, got) * jnp.where(got, v, 0.0))
                 accmask = accmask | onehot
                 m = jnp.where(onehot, neg, m)
-            rows = raise_env(jnp.concatenate(oh_rows, axis=0)).reshape(
-                k, B, F)
-            contrib = rows * jnp.stack(vals, axis=0)       # (k,B,1) bcast
-            sth[:] = jnp.maximum(sth[:], jnp.max(contrib, axis=0)) * a
+            sth[:] = jnp.maximum(sth[:], newenv) * a
             vbuf[slot, j] = jnp.where(accmask, y, neg)
         dma_val_out(slot, c).start()
         return 0
@@ -205,8 +207,7 @@ def _kernel(sgram_hbm, nf_ref, env0f_ref, gtab_ref,
                 cur = jnp.max(jnp.where(onehot, sth[:], neg), axis=1,
                               keepdims=True)
                 keep = (v > neg) & valid_t & (v >= cur)
-                oh01 = jnp.where(onehot & keep, 1.0, 0.0).astype(jnp.float32)
-                contrib = raise_env(oh01) * jnp.where(keep, v, 0.0)
+                contrib = gather_bump(p, keep) * jnp.where(keep, v, 0.0)
                 sth[:] = jnp.maximum(sth[:], contrib)
                 keptmask = keptmask | (onehot & keep)
             sth[:] = sth[:] * a
@@ -244,6 +245,13 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
         n_frames = jnp.concatenate(
             [n_frames, jnp.zeros(Bp - B, n_frames.dtype)])
     gtab = jnp.asarray(PKref._gauss_table(cfg))
+    # template centered at lane 0 (wrapped), for the kernel's variable-roll
+    # gather: gbase[j] = gvec[d + gsize] for d = ((j+128)%256)-128 in support
+    gvec = P.gaussian_template(cfg.f_sd).astype(np.float32)
+    dd = ((np.arange(F) + F // 2) % F) - F // 2
+    gbase = np.where(np.abs(dd) <= cfg.gsize,
+                     gvec[np.clip(dd + cfg.gsize, 0, 2 * cfg.gsize)],
+                     0.0).astype(np.float32)[None, :]
     # fwd init env: spread of per-bin max over first <=10 HPF'd frames —
     # computed in XLA on the (tiny) head slice, matching ops.peaks.fwd_prune
     head = jnp.minimum(10, jnp.maximum(1, n_frames))
@@ -271,7 +279,7 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
             pl.BlockSpec(memory_space=pl.ANY),        # sgram stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),    # n_frames (Bp,1)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # env0f
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # gtab
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # gbase
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # valmap (Tp,Bp,F) HBM
@@ -306,7 +314,8 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(sg_tm, n_frames[:, None].astype(jnp.int32), env0f, gtab)
+    )(sg_tm, n_frames[:, None].astype(jnp.int32), env0f,
+      jnp.asarray(gbase))
     valmap = jnp.transpose(valmap, (1, 0, 2))[:B, :T]
     keptmap = jnp.transpose(keptmap, (1, 0, 2))[:B, :T]
     return valmap, keptmap
