@@ -146,7 +146,8 @@ def read_wav_batch(paths: list, sr: int | None = None,
 
     if native.get_lib() is None or not paths:
         return None
-    max_samples = max(os.path.getsize(p) // 2 + 8 for p in paths)
+    # worst case 1 byte/sample-frame (8-bit mono PCM)
+    max_samples = max(os.path.getsize(p) + 8 for p in paths)
     res = native.load_wav_batch(paths, max_samples, n_threads)
     if res is None:
         return None
