@@ -26,8 +26,10 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_audfprint_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same stream regardless of which
+    # other tests ran (session scope made outcomes order-dependent)
     return np.random.default_rng(20260816)
 
 
@@ -48,5 +50,5 @@ def synth_audio(rng, dur_sec=5.0, sr=11025, n_tones=24, noise=0.01):
 
 
 @pytest.fixture(scope="session")
-def audio_5s(rng):
-    return synth_audio(rng, dur_sec=5.0)
+def audio_5s():
+    return synth_audio(np.random.default_rng(20260816), dur_sec=5.0)
