@@ -50,7 +50,6 @@ def synth_batch(B: int, n: int, sr: int = 11025,
 
 
 def measure_device(B: int = 128, dur_sec: float = 20.0, iters: int = 5):
-    import jax
     import jax.numpy as jnp
 
     import audfprint_tpu.utils.jaxconfig as jc
