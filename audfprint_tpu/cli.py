@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -354,12 +355,15 @@ def main(argv=None) -> int:
         args.shifts = 1
 
     out_f = open(args.opfile, "w") if args.opfile else None
+    report_lock = threading.Lock()
 
     def report(msg: str) -> None:
-        if out_f is not None:
-            out_f.write(msg + "\n")
-        else:
-            print(msg)
+        # thread-safe: the decode-prefetch worker can emit error lines
+        with report_lock:
+            if out_f is not None:
+                out_f.write(msg + "\n")
+            else:
+                print(msg)
 
     analyzer = setup_analyzer(args)
     matcher = setup_matcher(args)
