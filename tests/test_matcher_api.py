@@ -68,3 +68,20 @@ def test_illustrate_match(setup, tmp_path):
     m = Matcher()
     path = m.illustrate_match(analyzer, ht, str(d / "q.wav"), out_png=out)
     assert path == out and os.path.getsize(out) > 10000
+
+
+def test_presets_and_batched_wavfiles(setup):
+    from audfprint_tpu.models.presets import PRESETS, make_analyzer
+
+    assert set(PRESETS) >= {"default", "noisy-query"}
+    an = make_analyzer("noisy-query", density=30.0)
+    assert an.shifts == 4 and an.density == 30.0
+
+    d, _analyzer, _ht = setup
+    an0 = make_analyzer("default")
+    out = an0.wavfiles2hashes([str(d / "t0.wav"), str(d / "t1.wav")])
+    assert len(out) == 2 and all(len(h) > 20 for h in out)
+    # batched result equals single-file result
+    single = an0.wavfile2hashes(str(d / "t0.wav"))
+    import numpy as np
+    assert np.array_equal(out[0], single)
