@@ -213,27 +213,28 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
         signals = _decode_many(analyzer, wavs, args.ncores, report)
         return precomp, wavs, signals
 
-    # prefetch pipeline: decode chunk i+1 on a host thread while the device
-    # fingerprints chunk i (the TPU-era QueueReaderThread, SURVEY §2.2)
+    # three-stage pipeline: decode chunk i+1 on a host thread while the
+    # device fingerprints chunk i and the host stores chunk i-1's results
+    # (the TPU-era QueueReaderThread, SURVEY §2.2; device never idles)
     pool = ThreadPoolExecutor(max_workers=1)
-    pending = pool.submit(_decode_chunk, chunks[0]) if chunks else None
-    for ci in range(len(chunks)):
-        with stages.time("decode"):
-            precomp, wavs, signals = pending.result()
-        pending = (pool.submit(_decode_chunk, chunks[ci + 1])
-                   if ci + 1 < len(chunks) else None)
-        good = [(n, d) for n, d in zip(wavs, signals) if d is not None]
-        if good:
-            with stages.time("analyze"):
-                hashes = analyzer.samples_batch2hashes([d for _, d in good])
-            for (name, d), h in zip(good, hashes):
-                with stages.time("store"):
-                    ht.store_vectorized(name, h)
-                dur = len(d) / analyzer.target_sr
-                tot_dur += dur
-                n_done += 1
-                report(f"ingested #{n_done}: {name} "
-                       f"({dur:.1f} s, {len(h)} hashes)")
+    pending_decode = pool.submit(_decode_chunk, chunks[0]) if chunks else None
+    in_flight = None   # (good, precomp, async handle) awaiting resolve+store
+
+    def _store_inflight():
+        nonlocal tot_dur, n_done
+        if in_flight is None:
+            return
+        good, precomp, handle = in_flight
+        with stages.time("analyze"):
+            hashes = analyzer.fingerprint_resolve(handle)
+        for (name, d), h in zip(good, hashes):
+            with stages.time("store"):
+                ht.store_vectorized(name, h)
+            dur = len(d) / analyzer.target_sr
+            tot_dur += dur
+            n_done += 1
+            report(f"ingested #{n_done}: {name} "
+                   f"({dur:.1f} s, {len(h)} hashes)")
         for name in precomp:
             h = formats.hashes_load(name)
             ht.store_vectorized(name, h)
@@ -243,6 +244,18 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
             n_done += 1
             report(f"ingested #{n_done}: {name} "
                    f"({dur:.1f} s, {len(h)} hashes)")
+
+    for ci in range(len(chunks)):
+        with stages.time("decode"):
+            precomp, wavs, signals = pending_decode.result()
+        pending_decode = (pool.submit(_decode_chunk, chunks[ci + 1])
+                          if ci + 1 < len(chunks) else None)
+        good = [(n, d) for n, d in zip(wavs, signals) if d is not None]
+        with stages.time("dispatch"):
+            handle = analyzer.fingerprint_async([d for _, d in good])
+        _store_inflight()
+        in_flight = (good, precomp, handle)
+    _store_inflight()
     pool.shutdown(wait=False)
     return n_done, tot_dur
 

@@ -141,23 +141,45 @@ class Analyzer:
         batch[0, : len(d)] = d
         return batch
 
-    def samples_batch2hashes(self, signals: list) -> list:
-        """Fingerprint a list of sample arrays in shared-bucket batches."""
-        out: list = [None] * len(signals)
+    def fingerprint_async(self, signals: list):
+        """Dispatch fingerprinting of sample arrays to the device WITHOUT
+        waiting: returns an opaque handle for fingerprint_resolve.
+
+        Lets callers pipeline host work (decode/store of other batches)
+        against device execution — the device is never idle."""
+        import jax.numpy as jnp
+
         order = sorted(range(len(signals)), key=lambda i: len(signals[i]))
         groups: dict[int, list[int]] = {}
         for i in order:
             groups.setdefault(_bucket_len(len(signals[i])), []).append(i)
+        handle = []
         for blen, idxs in groups.items():
             batch = np.zeros((len(idxs), blen), np.float32)
             lens = np.zeros(len(idxs), np.int32)
             for row, i in enumerate(idxs):
                 batch[row, : len(signals[i])] = signals[i]
                 lens[row] = len(signals[i])
-            hashes = pipe.fingerprint_numpy(batch, lens, self.config)
+            dev = pipe.fingerprint_batch(jnp.asarray(batch),
+                                         jnp.asarray(lens), self.config)
+            handle.append((idxs, dev))
+        return (len(signals), handle)
+
+    def fingerprint_resolve(self, handle) -> list:
+        """Materialize the results of fingerprint_async as (n, 2) arrays."""
+        n, groups = handle
+        out: list = [None] * n
+        for idxs, (t_s, h_s, uniq, _counts) in groups:
+            t_s, h_s, uniq = np.asarray(t_s), np.asarray(h_s), np.asarray(uniq)
             for row, i in enumerate(idxs):
-                out[i] = hashes[row]
+                m = uniq[row]
+                out[i] = np.stack([t_s[row][m], h_s[row][m]],
+                                  axis=1).astype(np.int32)
         return out
+
+    def samples_batch2hashes(self, signals: list) -> list:
+        """Fingerprint a list of sample arrays in shared-bucket batches."""
+        return self.fingerprint_resolve(self.fingerprint_async(signals))
 
     def glob2hashtable(self, pattern: str, ht=None):
         """Build (or extend) a HashTable from a glob pattern (reference
