@@ -99,7 +99,16 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
                   .at[bidx, id_safe].add(v_f.astype(jnp.int32)))
     hpi = jnp.maximum(1, hashesperid).astype(jnp.float32)
     wc = jnp.where(raw > 0, raw.astype(jnp.float32) / hpi[None, :], -1.0)
-    candw, cand_ids = jax.lax.top_k(wc, SD)                  # (B,SD)
+    # top-SD via one stable sort (lax.top_k's k=100 partial-sort lowering
+    # measured slower); stable ascending sort of -wc keeps ties id-asc,
+    # exactly top_k's tie rule
+    iota_ids = jnp.broadcast_to(
+        jnp.arange(mcfg.n_ids_cap, dtype=jnp.int32)[None, :],
+        (B, mcfg.n_ids_cap))
+    negw_s, ids_s = jax.lax.sort((-wc, iota_ids), num_keys=1,
+                                 is_stable=True)
+    candw = -negw_s[:, :SD]
+    cand_ids = ids_s[:, :SD]
     cand_valid = candw > 0.0
     cand_raw = jnp.take_along_axis(raw, cand_ids, axis=1)
 
@@ -114,12 +123,14 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
     dtbin_f = jnp.clip(dt_f + mcfg.qt_cap, 0, nbins - 1)
     hist = sum_all(jnp.zeros((B, SD + 1, nbins), jnp.int32).at[
         bidx, rank_f, dtbin_f].add(v_f.astype(jnp.int32))[:, :SD])
-    csum = jnp.cumsum(hist, axis=-1)
-    pad = jnp.zeros((B, SD, W + 1), jnp.int32)
-    hi = jnp.concatenate([csum[..., W:],
-                          jnp.broadcast_to(csum[..., -1:], (B, SD, W))], -1)
-    lo = jnp.concatenate([pad, csum[..., : nbins - W - 1]], -1)
-    smeared = hi - lo                                # sum over [d-W, d+W]
+    # +/-W box smear: direct (2W+1)-tap shifted sum — far cheaper than a
+    # full cumsum over the bins axis for small W (exact integer math)
+    zpad = jnp.zeros((B, SD, W), jnp.int32)
+    histp = jnp.concatenate([zpad, hist, zpad], axis=-1)
+    smeared = histp[..., : nbins]
+    for o in range(1, 2 * W + 1):
+        smeared = smeared + histp[..., o: o + nbins]
+    # smeared[d] == sum over hist[d-W .. d+W]
     dtmin = min_all(jnp.full((B, SD + 1), _I32MAX, jnp.int32).at[
         bidx, rank_f].min(jnp.where(v_f, dtbin_f, _I32MAX))[:, :SD])
     binid = jnp.arange(nbins, dtype=jnp.int32)
