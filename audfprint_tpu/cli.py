@@ -133,7 +133,8 @@ def filename_list_iterator(filelist, wavdir: str, wavext: str,
 
 def _new_table(args) -> HashTable:
     maxtimebits = args.maxtimebits
-    maxtime = (1 << maxtimebits) if maxtimebits else args.maxtime
+    maxtime = ((1 << maxtimebits) if maxtimebits is not None
+               else args.maxtime)
     return HashTable(hashbits=args.hashbits, depth=args.bucketsize,
                      maxtime=maxtime)
 
@@ -208,7 +209,8 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
 
     def _decode_chunk(chunk):
         precomp = [n for n in chunk
-                   if os.path.splitext(n)[1] == formats.PRECOMPEXT]
+                   if os.path.splitext(n)[1] in (formats.PRECOMPEXT,
+                                                 formats.PRECOMPPKEXT)]
         wavs = [n for n in chunk if n not in precomp]
         signals = _decode_many(analyzer, wavs, args.ncores, report)
         return precomp, wavs, signals
@@ -236,10 +238,9 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
             report(f"ingested #{n_done}: {name} "
                    f"({dur:.1f} s, {len(h)} hashes)")
         for name in precomp:
-            h = formats.hashes_load(name)
+            h = analyzer.wavfile2hashes(name)   # .afpt or .afpk
             ht.store_vectorized(name, h)
-            dur = (float(h[:, 0].max()) * analyzer.n_hop / analyzer.target_sr
-                   if len(h) else 0.0)
+            dur = analyzer.soundfiledur
             tot_dur += dur
             n_done += 1
             report(f"ingested #{n_done}: {name} "
@@ -331,20 +332,23 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
     B = max(1, args.batchsize)
     for i in range(0, len(names), B):
         chunk = names[i: i + B]
-        hash_lists, durs = [], []
-        for name in chunk:
-            try:
-                with stages.time("analyze"):
-                    h = analyzer.wavfile2hashes(name)
-            except audio_io.DecodeError as e:
-                if analyzer.fail_on_error:
-                    raise
-                report(f"Error reading {name}: {e}")
-                h = None
-            hash_lists.append(h)
-            durs.append(analyzer.soundfiledur)
-        ok = [(n, h, d) for n, h, d in zip(chunk, hash_lists, durs)
-              if h is not None]
+        precomp = [n for n in chunk
+                   if os.path.splitext(n)[1] in (formats.PRECOMPEXT,
+                                                 formats.PRECOMPPKEXT)]
+        wavs = [n for n in chunk if n not in precomp]
+        with stages.time("decode"):
+            signals = _decode_many(analyzer, wavs, args.ncores, report)
+        ok = []
+        good = [(n, d) for n, d in zip(wavs, signals) if d is not None]
+        if good:
+            with stages.time("analyze"):
+                hashes = analyzer.samples_batch2hashes(
+                    [d for _, d in good])
+            ok += [(n, h, len(d) / analyzer.target_sr)
+                   for (n, d), h in zip(good, hashes)]
+        for name in precomp:
+            h = analyzer.wavfile2hashes(name)
+            ok.append((name, h, analyzer.soundfiledur))
         if not ok:
             continue
         with stages.time("match"):
@@ -393,12 +397,13 @@ def main(argv=None) -> int:
     names = list(filename_list_iterator(
         args.file, args.wavdir, args.wavext, args.listflag))
 
+    if cmd in ("new", "newmerge", "add", "match", "merge", "list",
+               "remove") and not args.dbase:
+        print("a --dbase is required for " + cmd, file=sys.stderr)
+        return 2
     if cmd in ("new", "newmerge"):
         ht = _new_table(args)
     elif cmd in ("add", "match", "merge", "list", "remove"):
-        if not args.dbase:
-            print("a --dbase is required for " + cmd, file=sys.stderr)
-            return 2
         ht = HashTable(args.dbase)
     else:
         ht = None

@@ -62,17 +62,28 @@ class HashTable:
 
     # -- id management ------------------------------------------------------
 
+    def _index(self) -> dict:
+        # name -> id dict kept alongside `names` (a bare list.index scan
+        # makes big ingests quadratic); rebuilt lazily after load/merge
+        idx = getattr(self, "_name_index", None)
+        if idx is None or len(idx) != sum(
+                1 for n in self.names if n is not None):
+            idx = {n: i for i, n in enumerate(self.names) if n is not None}
+            self._name_index = idx
+        return idx
+
     def name_to_id(self, name, add_if_missing: bool = False) -> int:
         if isinstance(name, (int, np.integer)):
             return int(name)
-        try:
-            return self.names.index(name)
-        except ValueError:
-            if not add_if_missing:
-                raise
-            self.names.append(name)
-            self.hashesperid = np.append(self.hashesperid, 0)
-            return len(self.names) - 1
+        idx = self._index()
+        if name in idx:
+            return idx[name]
+        if not add_if_missing:
+            raise ValueError(f"{name!r} not in table")
+        self.names.append(name)
+        self.hashesperid = np.append(self.hashesperid, 0)
+        idx[name] = len(self.names) - 1
+        return len(self.names) - 1
 
     # -- store / retrieve ---------------------------------------------------
 
@@ -111,6 +122,7 @@ class HashTable:
         if n == 0:
             self.hashesperid[id_] += 0
             self.dirty = True
+            self.rev += 1
             return
         hashmask = (1 << self.hashbits) - 1
         timemask = self.maxtime - 1
@@ -271,6 +283,7 @@ class HashTable:
             "hashesperid": self.hashesperid,
             "params": self.params,
         }
+        self._name_index = None   # never persist the derived index
         f = file_object or gzip.open(name, "wb")
         try:
             pickle.dump(state, f, protocol=4)

@@ -71,7 +71,10 @@ class Matcher:
 
     def match_hashes(self, ht, hashes) -> np.ndarray:
         """Query (t, hash) rows -> (k, 6) int64 result rows
-        [id, filtcount, mode_dt, rawcount, min_t, max_t] (oracle-identical)."""
+        [id, filtcount, mode_dt, rawcount, min_t, max_t].
+
+        Oracle-identical for queries up to qt_cap (8192 frames ~ 190 s);
+        longer queries have their tail hashes dropped (warned)."""
         return self.match_hashes_batch(ht, [np.asarray(hashes)])[0]
 
     def match_hashes_batch(self, ht, hash_lists) -> list:
@@ -90,6 +93,10 @@ class Matcher:
         for b, h in enumerate(hash_lists):
             h = np.asarray(h).reshape(-1, 2)
             keep = h[:, 0] < qt_cap if len(h) else np.zeros(0, bool)
+            if len(h) and not keep.all():
+                print(f"Warning: query longer than {qt_cap} frames "
+                      f"(~{qt_cap * 256 / 11025:.0f} s); dropping "
+                      f"{int((~keep).sum())} of {len(h)} hashes")
             h = h[keep]
             tt[b, : len(h)] = h[:, 0]
             hh[b, : len(h)] = h[:, 1]

@@ -85,17 +85,31 @@ class Analyzer:
     def wavfile2hashes(self, filename: str) -> np.ndarray:
         """File -> (N, 2) int32 sorted unique (t, hash) rows.
 
-        `.afpt` inputs short-circuit to hashes_load (reference
-        wavfile2hashes, audfprint_analyze.py:~430)."""
-        if os.path.splitext(filename)[1] == formats.PRECOMPEXT:
+        `.afpt` inputs short-circuit to hashes_load; `.afpk` peak files are
+        re-paired into landmarks and hashed (reference wavfile2hashes,
+        audfprint_analyze.py:~430)."""
+        ext = os.path.splitext(filename)[1]
+        if ext == formats.PRECOMPEXT:
             hashes = formats.hashes_load(filename)
-            # reference reports duration from hash extent for precomputed
-            self.soundfiledur = (
-                float(hashes[:, 0].max()) * self.n_hop / self.target_sr
-                if len(hashes) else 0.0)
-            return hashes
-        d = self.read_audio(filename)
-        return self.samples2hashes(d)
+        elif ext == formats.PRECOMPPKEXT:
+            from audfprint_tpu.oracle import analyze as oa
+
+            params = P.AnalyzerParams(
+                density=self.density, n_fft=self.n_fft, n_hop=self.n_hop,
+                maxpairsperpeak=self.maxpairsperpeak, f_sd=self.f_sd)
+            peaks = formats.peaks_load(filename)
+            lmks = oa.peaks2landmarks(peaks, params)
+            h = oa.landmarks2hashes(lmks)
+            hashes = (np.unique(h, axis=0) if len(h)
+                      else np.zeros((0, 2), np.int32))
+        else:
+            d = self.read_audio(filename)
+            return self.samples2hashes(d)
+        # reference reports duration from hash extent for precomputed
+        self.soundfiledur = (
+            float(hashes[:, 0].max()) * self.n_hop / self.target_sr
+            if len(hashes) else 0.0)
+        return hashes
 
     def samples2hashes(self, d: np.ndarray) -> np.ndarray:
         batch = self._batch_one(d)

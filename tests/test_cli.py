@@ -201,3 +201,35 @@ def test_illustrate_flag_writes_png(fixture_dir, tmp_path, capsys):
     _run(capsys, ["match", "-p", db, *COMMON, "-I", fixture_dir / "query.wav"])
     png = str(fixture_dir / "query.wav.match.png")
     assert os.path.exists(png) and os.path.getsize(png) > 10000
+
+
+def test_afpk_ingest_and_match(fixture_dir, tmp_path, capsys):
+    """Peak precompute files are re-paired and usable for add + match
+    (reference wavfile2hashes .afpk path)."""
+    pre = tmp_path / "pk"
+    _run(capsys, ["precompute", "-K", "--precompdir", pre, *COMMON,
+                  fixture_dir / "track1.wav"])
+    afpk = str(pre / str(fixture_dir).lstrip("/") / "track1.afpk")
+    db = tmp_path / "pk.pklz"
+    out = _run(capsys, ["new", "-p", db, *COMMON, afpk])
+    assert "Saved fprints for 1 files" in out
+    out = _run(capsys, ["match", "-p", db, *COMMON, fixture_dir / "query.wav"])
+    assert "Matched" in out and "track1.afpk" in out
+    # matching a .afpk query directly also works
+    out = _run(capsys, ["match", "-p", db, *COMMON, afpk])
+    assert "Matched" in out
+
+
+def test_missing_dbase_is_clean_error(capsys):
+    from audfprint_tpu.cli import main as _main
+    for cmd in ("new", "newmerge", "add", "match"):
+        assert _main([cmd, "x.wav"]) == 2
+
+
+def test_maxtimebits_flag(fixture_dir, tmp_path, capsys):
+    from audfprint_tpu.index.hash_table import HashTable
+    db = tmp_path / "mtb.pklz"
+    _run(capsys, ["new", "-p", db, "-h", "16", "-b", "8", "-u", "9",
+                  fixture_dir / "track0.wav"])
+    ht = HashTable(str(db))
+    assert ht.maxtime == 512
