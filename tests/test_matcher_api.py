@@ -85,3 +85,20 @@ def test_presets_and_batched_wavfiles(setup):
     single = an0.wavfile2hashes(str(d / "t0.wav"))
     import numpy as np
     assert np.array_equal(out[0], single)
+
+
+def test_afpk_roundtrip_equals_direct_hashes(setup, tmp_path):
+    """Peaks saved to .afpk and re-paired yield exactly the hashes of the
+    direct audio pipeline (single-shift): the pairing is a pure function
+    of the peak set."""
+    import numpy as np
+
+    from audfprint_tpu.utils import formats
+
+    d, analyzer, ht = setup
+    wav = str(d / "t0.wav")
+    direct = analyzer.wavfile2hashes(wav)
+    afpk = str(tmp_path / "t0.afpk")
+    formats.peaks_save(afpk, analyzer.wavfile2peaks(wav))
+    via_peaks = analyzer.wavfile2hashes(afpk)
+    assert np.array_equal(direct, via_peaks)
