@@ -3,7 +3,11 @@
 Reference: audfprint.py (SURVEY §2.3.6 + Appendix A).  Same commands
 (new | add | precompute | merge | newmerge | match | list | remove), same
 flag names/defaults (argparse instead of docopt; note -h means --hashbits as
-in the reference, so use --help for help).
+in the reference, so use --help for help).  Short options follow the
+upstream docopt assignments exactly: -d dbase, -n density, -p precompdir,
+-i shifts, -S freq-sd, -H ncores (ADVICE r1: the survey's Appendix A had
+recalled some of these wrong; upstream-style invocations like `-S 30`
+(freq-sd) or `-i 4` (shifts) now behave identically here).
 
 Orchestration differences (TPU-native by design, SURVEY §2.2):
   * ingest/match run *batched* on the device; `--ncores N` parallelizes host
@@ -45,19 +49,19 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("file", nargs="*")
     p.add_argument("--help", action="help")
     a = p.add_argument
-    a("-d", "--density", type=float, default=P.DENSITY)
+    a("-n", "--density", type=float, default=P.DENSITY)
     a("-h", "--hashbits", type=int, default=P.TABLE_HASHBITS)
     a("-b", "--bucketsize", type=int, default=P.TABLE_DEPTH)
     a("-t", "--maxtime", type=int, default=P.TABLE_MAXTIME)
     a("-u", "--maxtimebits", type=int, default=None)
     a("-r", "--samplerate", type=int, default=P.TARGET_SR)
-    a("-p", "--dbase", type=str, default=None)
+    a("-d", "--dbase", type=str, default=None)
     a("-o", "--opfile", type=str, default=None)
     a("-F", "--fanout", type=int, default=P.MAX_PAIRS_PER_PEAK)
     a("-P", "--pks-per-frame", dest="pks_per_frame", type=int,
       default=P.MAX_PKS_PER_FRAME)
-    a("-S", "--shifts", type=int, default=0)
-    a("-B", "--freq-sd", dest="freq_sd", type=float, default=P.F_SD)
+    a("-i", "--shifts", type=int, default=0)
+    a("-S", "--freq-sd", dest="freq_sd", type=float, default=P.F_SD)
     a("-D", "--search-depth", dest="search_depth", type=int,
       default=P.SEARCH_DEPTH)
     a("-w", "--match-win", dest="match_win", type=int, default=P.MATCH_WIN)
@@ -69,7 +73,7 @@ def make_parser() -> argparse.ArgumentParser:
     a("-Q", "--time-quantile", dest="time_quantile", type=float,
       default=P.TIME_QUANTILE)
     a("-T", "--sortbytime", action="store_true")
-    a("-i", "--ncores", type=int, default=1)
+    a("-H", "--ncores", type=int, default=1)
     a("-K", "--precompute-peaks", dest="precompute_peaks",
       action="store_true")
     a("-k", "--skip-existing", dest="skip_existing", action="store_true")
@@ -78,7 +82,7 @@ def make_parser() -> argparse.ArgumentParser:
     a("-l", "--list", dest="listflag", action="store_true")
     a("-W", "--wavdir", type=str, default="")
     a("-V", "--wavext", type=str, default="")
-    a("--precompdir", type=str, default=".")
+    a("-p", "--precompdir", type=str, default=".")
     a("-I", "--illustrate", action="store_true")
     a("-J", "--illustrate-hpf", dest="illustrate_hpf", action="store_true")
     a("-v", "--verbose", type=int, default=1)

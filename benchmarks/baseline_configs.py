@@ -48,9 +48,9 @@ def config1(scale):
         audio_write_wav(wav, x, SR)
         db = os.path.join(d, "db.pklz")
         t0 = time.time()
-        main(["new", "-p", db, wav])
+        main(["new", "-d", db, wav])
         out = os.path.join(d, "out.txt")
-        main(["match", "-p", db, "-o", out, wav])
+        main(["match", "-d", db, "-o", out, wav])
         ok = "Matched" in open(out).read()
         return {"config": 1, "self_match": bool(ok),
                 "elapsed_s": round(time.time() - t0, 2)}
@@ -146,10 +146,10 @@ def config4(scale):
                  for w in wavs]
         half = len(afpts) // 2
         db1, db2 = os.path.join(d, "a.pklz"), os.path.join(d, "b.pklz")
-        main(["new", "-p", db1, "-o", os.devnull, *afpts[:half]])
-        main(["new", "-p", db2, "-o", os.devnull, *afpts[half:]])
+        main(["new", "-d", db1, "-o", os.devnull, *afpts[:half]])
+        main(["new", "-d", db2, "-o", os.devnull, *afpts[half:]])
         dbm = os.path.join(d, "m.pklz")
-        main(["newmerge", "-p", dbm, "-o", os.devnull, db1, db2])
+        main(["newmerge", "-d", dbm, "-o", os.devnull, db1, db2])
         elapsed = time.time() - t0
         from audfprint_tpu.index.hash_table import HashTable
         ht = HashTable(dbm)

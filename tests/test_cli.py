@@ -44,12 +44,12 @@ def _run(capsys, argv):
 
 def test_new_and_match(fixture_dir, tmp_path, capsys):
     db = tmp_path / "test.pklz"
-    out = _run(capsys, ["new", "-p", db, *COMMON,
+    out = _run(capsys, ["new", "-d", db, *COMMON,
                         *(fixture_dir / f"track{i}.wav" for i in range(3))])
     assert "Saved fprints for 3 files" in out
     assert re.search(r"Processed 3 files \(18\.0 s total dur\)", out)
 
-    out = _run(capsys, ["match", "-p", db, *COMMON, fixture_dir / "query.wav"])
+    out = _run(capsys, ["match", "-d", db, *COMMON, fixture_dir / "query.wav"])
     m = re.search(
         r"Matched .*query\.wav 3\.0 sec (\d+) raw hashes as .*track1\.wav "
         r"at (\d+\.\d) s with (\d+) of (\d+) common hashes at rank 0", out)
@@ -57,20 +57,20 @@ def test_new_and_match(fixture_dir, tmp_path, capsys):
     # clip starts at 2.0 s -> mode ~ 2.0 s
     assert abs(float(m.group(2)) - 2.0) <= 0.1
     # NOMATCH line for noise
-    out = _run(capsys, ["match", "-p", db, *COMMON, fixture_dir / "noise.wav"])
+    out = _run(capsys, ["match", "-d", db, *COMMON, fixture_dir / "noise.wav"])
     assert "NOMATCH" in out and "noise.wav" in out
 
 
 def test_match_time_range_and_quiet(fixture_dir, tmp_path, capsys):
     db = tmp_path / "db.pklz"
-    _run(capsys, ["new", "-p", db, *COMMON,
+    _run(capsys, ["new", "-d", db, *COMMON,
                   fixture_dir / "track0.wav", fixture_dir / "track1.wav"])
-    out = _run(capsys, ["match", "-p", db, *COMMON, "-R", "-X",
+    out = _run(capsys, ["match", "-d", db, *COMMON, "-R", "-X",
                         fixture_dir / "query.wav"])
     assert re.search(r"Matched\s+\d+\.\d s starting at\s+\d+\.\d s in .*query",
                      out), out
     # verbose=0 -> tab-separated quiet format
-    out = _run(capsys, ["match", "-p", db, *COMMON, "-v", "0",
+    out = _run(capsys, ["match", "-d", db, *COMMON, "-v", "0",
                         fixture_dir / "query.wav"])
     lines = [l for l in out.splitlines() if "query.wav" in l]
     assert lines and "\t" in lines[0] and "track1.wav" in lines[0]
@@ -89,8 +89,8 @@ def test_precompute_add_roundtrip(fixture_dir, tmp_path, capsys):
     assert out.count("skipping existing") == 2
 
     db = tmp_path / "dbp.pklz"
-    _run(capsys, ["new", "-p", db, *COMMON, *afpts])
-    out = _run(capsys, ["match", "-p", db, *COMMON, fixture_dir / "query.wav"])
+    _run(capsys, ["new", "-d", db, *COMMON, *afpts])
+    out = _run(capsys, ["match", "-d", db, *COMMON, fixture_dir / "query.wav"])
     assert "track1.afpt" in out and "Matched" in out
 
 
@@ -108,30 +108,30 @@ def test_precompute_peaks(fixture_dir, tmp_path, capsys):
 def test_merge_and_newmerge(fixture_dir, tmp_path, capsys):
     db0 = tmp_path / "a.pklz"
     db1 = tmp_path / "b.pklz"
-    _run(capsys, ["new", "-p", db0, *COMMON, fixture_dir / "track0.wav"])
-    _run(capsys, ["new", "-p", db1, *COMMON, fixture_dir / "track1.wav"])
+    _run(capsys, ["new", "-d", db0, *COMMON, fixture_dir / "track0.wav"])
+    _run(capsys, ["new", "-d", db1, *COMMON, fixture_dir / "track1.wav"])
     dbm = tmp_path / "m.pklz"
-    _run(capsys, ["newmerge", "-p", dbm, *COMMON, db0, db1])
-    out = _run(capsys, ["list", "-p", dbm, *COMMON])
+    _run(capsys, ["newmerge", "-d", dbm, *COMMON, db0, db1])
+    out = _run(capsys, ["list", "-d", dbm, *COMMON])
     assert "track0.wav" in out and "track1.wav" in out
-    out = _run(capsys, ["match", "-p", dbm, *COMMON, fixture_dir / "query.wav"])
+    out = _run(capsys, ["match", "-d", dbm, *COMMON, fixture_dir / "query.wav"])
     assert "track1.wav" in out and "Matched" in out
     # merge db1 into db0 in place
-    _run(capsys, ["merge", "-p", db0, *COMMON, db1])
-    out = _run(capsys, ["match", "-p", db0, *COMMON, fixture_dir / "query.wav"])
+    _run(capsys, ["merge", "-d", db0, *COMMON, db1])
+    out = _run(capsys, ["match", "-d", db0, *COMMON, fixture_dir / "query.wav"])
     assert "track1.wav" in out
 
 
 def test_list_remove(fixture_dir, tmp_path, capsys):
     db = tmp_path / "lr.pklz"
-    _run(capsys, ["new", "-p", db, *COMMON,
+    _run(capsys, ["new", "-d", db, *COMMON,
                   fixture_dir / "track0.wav", fixture_dir / "track1.wav"])
-    out = _run(capsys, ["list", "-p", db, *COMMON])
+    out = _run(capsys, ["list", "-d", db, *COMMON])
     assert "track0.wav" in out and "hashes" in out
-    _run(capsys, ["remove", "-p", db, *COMMON, fixture_dir / "track1.wav"])
-    out = _run(capsys, ["list", "-p", db, *COMMON])
+    _run(capsys, ["remove", "-d", db, *COMMON, fixture_dir / "track1.wav"])
+    out = _run(capsys, ["list", "-d", db, *COMMON])
     assert "track1.wav" not in out
-    out = _run(capsys, ["match", "-p", db, *COMMON, fixture_dir / "query.wav"])
+    out = _run(capsys, ["match", "-d", db, *COMMON, fixture_dir / "query.wav"])
     assert "NOMATCH" in out
 
 
@@ -140,9 +140,9 @@ def test_opfile_and_listfile(fixture_dir, tmp_path, capsys):
     listfile = tmp_path / "inputs.txt"
     listfile.write_text(
         f"{fixture_dir}/track0.wav\n{fixture_dir}/track1.wav\n")
-    _run(capsys, ["new", "-p", db, *COMMON, "-l", listfile])
+    _run(capsys, ["new", "-d", db, *COMMON, "-l", listfile])
     opfile = tmp_path / "out.txt"
-    _run(capsys, ["match", "-p", db, *COMMON, "-o", opfile,
+    _run(capsys, ["match", "-d", db, *COMMON, "-o", opfile,
                   fixture_dir / "query.wav"])
     text = opfile.read_text()
     assert "Matched" in text and "track1.wav" in text
@@ -152,24 +152,24 @@ def test_continue_on_error(fixture_dir, tmp_path, capsys):
     bad = tmp_path / "bad.wav"
     bad.write_bytes(b"not a wav at all")
     db = tmp_path / "ce.pklz"
-    out = _run(capsys, ["new", "-p", db, *COMMON, "-C",
+    out = _run(capsys, ["new", "-d", db, *COMMON, "-C",
                         bad, fixture_dir / "track0.wav"])
     assert "Error reading" in out
     assert "Processed 1 files" in out
     with pytest.raises(Exception):
-        main(["new", "-p", str(tmp_path / "x.pklz"), *COMMON, str(bad)])
+        main(["new", "-d", str(tmp_path / "x.pklz"), *COMMON, str(bad)])
 
 
 def test_shifts_and_density_flags(fixture_dir, tmp_path, capsys):
     db = tmp_path / "sd.pklz"
-    out = _run(capsys, ["new", "-p", db, *COMMON, "-S", "2", "-d", "40",
+    out = _run(capsys, ["new", "-d", db, *COMMON, "-i", "2", "-n", "40",
                         fixture_dir / "track1.wav"])
     assert "Saved fprints" in out
-    out = _run(capsys, ["match", "-p", db, *COMMON, "-S", "2", "-d", "40",
+    out = _run(capsys, ["match", "-d", db, *COMMON, "-i", "2", "-n", "40",
                         fixture_dir / "query.wav"])
     assert "Matched" in out and "track1.wav" in out
     # param mismatch warning when matching with different density
-    out = _run(capsys, ["match", "-p", db, *COMMON,
+    out = _run(capsys, ["match", "-d", db, *COMMON,
                         fixture_dir / "query.wav"])
     assert "Warning: database" in out
 
@@ -178,7 +178,7 @@ def test_json_metrics_and_verbose_stages(fixture_dir, tmp_path, capsys):
     import json
     db = tmp_path / "jm.pklz"
     metrics = tmp_path / "m.json"
-    _run(capsys, ["new", "-p", db, *COMMON, "-v", "2",
+    _run(capsys, ["new", "-d", db, *COMMON, "-v", "2",
                   "--json-metrics", metrics, fixture_dir / "track0.wav"])
     data = json.loads(metrics.read_text())
     assert data["command"] == "new" and data["n_files"] == 1
@@ -188,17 +188,17 @@ def test_json_metrics_and_verbose_stages(fixture_dir, tmp_path, capsys):
 
 def test_wavdir_wavext(fixture_dir, tmp_path, capsys):
     db = tmp_path / "wd.pklz"
-    _run(capsys, ["new", "-p", db, *COMMON, "-W", fixture_dir, "-V", ".wav",
+    _run(capsys, ["new", "-d", db, *COMMON, "-W", fixture_dir, "-V", ".wav",
                   "track0", "track1"])
-    out = _run(capsys, ["match", "-p", db, *COMMON, "-W", fixture_dir,
+    out = _run(capsys, ["match", "-d", db, *COMMON, "-W", fixture_dir,
                         "-V", ".wav", "query"])
     assert "Matched" in out and "track1.wav" in out
 
 
 def test_illustrate_flag_writes_png(fixture_dir, tmp_path, capsys):
     db = tmp_path / "il.pklz"
-    _run(capsys, ["new", "-p", db, *COMMON, fixture_dir / "track1.wav"])
-    _run(capsys, ["match", "-p", db, *COMMON, "-I", fixture_dir / "query.wav"])
+    _run(capsys, ["new", "-d", db, *COMMON, fixture_dir / "track1.wav"])
+    _run(capsys, ["match", "-d", db, *COMMON, "-I", fixture_dir / "query.wav"])
     png = str(fixture_dir / "query.wav.match.png")
     assert os.path.exists(png) and os.path.getsize(png) > 10000
 
@@ -211,12 +211,12 @@ def test_afpk_ingest_and_match(fixture_dir, tmp_path, capsys):
                   fixture_dir / "track1.wav"])
     afpk = str(pre / str(fixture_dir).lstrip("/") / "track1.afpk")
     db = tmp_path / "pk.pklz"
-    out = _run(capsys, ["new", "-p", db, *COMMON, afpk])
+    out = _run(capsys, ["new", "-d", db, *COMMON, afpk])
     assert "Saved fprints for 1 files" in out
-    out = _run(capsys, ["match", "-p", db, *COMMON, fixture_dir / "query.wav"])
+    out = _run(capsys, ["match", "-d", db, *COMMON, fixture_dir / "query.wav"])
     assert "Matched" in out and "track1.afpk" in out
     # matching a .afpk query directly also works
-    out = _run(capsys, ["match", "-p", db, *COMMON, afpk])
+    out = _run(capsys, ["match", "-d", db, *COMMON, afpk])
     assert "Matched" in out
 
 
@@ -229,7 +229,23 @@ def test_missing_dbase_is_clean_error(capsys):
 def test_maxtimebits_flag(fixture_dir, tmp_path, capsys):
     from audfprint_tpu.index.hash_table import HashTable
     db = tmp_path / "mtb.pklz"
-    _run(capsys, ["new", "-p", db, "-h", "16", "-b", "8", "-u", "9",
+    _run(capsys, ["new", "-d", db, "-h", "16", "-b", "8", "-u", "9",
                   fixture_dir / "track0.wav"])
     ht = HashTable(str(db))
     assert ht.maxtime == 512
+
+
+def test_upstream_short_flag_mapping():
+    """Short options must match upstream audfprint's docopt assignments
+    (ADVICE r1: -d dbase, -n density, -p precompdir, -i shifts, -S freq-sd,
+    -H ncores); an upstream-style invocation must parse identically."""
+    from audfprint_tpu.cli import make_parser
+    args = make_parser().parse_args(
+        ["match", "-d", "db.pklz", "-n", "40", "-p", "pre", "-i", "4",
+         "-S", "25", "-H", "8", "q.wav"])
+    assert args.dbase == "db.pklz"
+    assert args.density == 40.0
+    assert args.precompdir == "pre"
+    assert args.shifts == 4
+    assert args.freq_sd == 25.0
+    assert args.ncores == 8

@@ -43,13 +43,13 @@ def _session(tmpdir, capture):
     audio_write_wav(os.path.join(tmpdir, "query.wav"), q, SR)
     db = os.path.join(tmpdir, "db.pklz")
     wavs = [os.path.join(tmpdir, f"track{i}.wav") for i in range(3)]
-    main(["new", "-p", db, *COMMON, *wavs])
-    main(["match", "-p", db, *COMMON, os.path.join(tmpdir, "query.wav")])
-    main(["match", "-p", db, *COMMON, "-R", "-X",
+    main(["new", "-d", db, *COMMON, *wavs])
+    main(["match", "-d", db, *COMMON, os.path.join(tmpdir, "query.wav")])
+    main(["match", "-d", db, *COMMON, "-R", "-X",
           os.path.join(tmpdir, "query.wav")])
-    main(["list", "-p", db, *COMMON])
-    main(["remove", "-p", db, *COMMON, wavs[2]])
-    main(["match", "-p", db, *COMMON, os.path.join(tmpdir, "query.wav")])
+    main(["list", "-d", db, *COMMON])
+    main(["remove", "-d", db, *COMMON, wavs[2]])
+    main(["match", "-d", db, *COMMON, os.path.join(tmpdir, "query.wav")])
     return capture()
 
 
