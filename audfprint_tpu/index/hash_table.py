@@ -19,13 +19,19 @@ the same insertion stream.
 
 Persistence: `.pklz` = gzip-pickled plain-dict snapshot (the reference
 gzip-pickles its class instance, hash_table.py:~250-330; a plain dict keeps
-the format loadable without this module's class path).
+the format loadable without this module's class path).  Interchange with the
+reference (SURVEY §5 checkpoint row): `load()` also accepts upstream
+class-instance pickles via an attribute-mapping shim (any `*.HashTable`
+global resolves to a stub), and `save_upstream()` writes a class-instance
+`.pklz` the reference tool can read back.
 """
 
 from __future__ import annotations
 
 import gzip
 import pickle
+import sys
+import types
 
 import numpy as np
 
@@ -34,6 +40,90 @@ from audfprint_tpu.utils import prng
 
 HT_VERSION = 20260816
 HT_COMPAT_VERSION = 20260816
+# Upstream audfprint version stamps (hash_table.py:~20): HT_VERSION is the
+# date of the current on-disk layout; tables older than the OLD_COMPAT floor
+# predate maxtimebits and are refused upstream too.
+UPSTREAM_HT_VERSION = 20170724
+UPSTREAM_OLD_COMPAT = 20140920
+
+
+class _UpstreamStub:
+    """Attribute bag standing in for upstream's pickled HashTable class.
+
+    Upstream `.pklz` files gzip-pickle the class *instance*
+    (hash_table.py:~250-330), so the stream contains a GLOBAL reference to
+    `hash_table.HashTable`.  Unpickling only needs a class whose instances
+    take attributes via __dict__ — this stub does, regardless of which
+    module path the writing process used.
+    """
+
+
+class _UpstreamUnpickler(pickle.Unpickler):
+    """Resolve any `*.HashTable` global to the attribute-bag stub so
+    upstream-written `.pklz` files load without upstream on the path."""
+
+    def find_class(self, module, name):
+        if name == "HashTable":
+            return _UpstreamStub
+        return super().find_class(module, name)
+
+
+def _upstream_module():
+    """A synthetic `hash_table` module so pickling an upstream-shaped
+    instance emits the GLOBAL (`hash_table`, `HashTable`) upstream expects.
+    Only registered if no real module already owns the name."""
+    mod = sys.modules.get("hash_table")
+    if mod is not None and getattr(getattr(mod, "HashTable", None),
+                                   "__module__", None) == "hash_table":
+        return mod
+    mod = types.ModuleType("hash_table")
+
+    class HashTable:   # noqa: N801 - must match upstream's class name
+        pass
+
+    HashTable.__module__ = "hash_table"
+    HashTable.__qualname__ = "HashTable"
+    mod.HashTable = HashTable
+    sys.modules["hash_table"] = mod
+    return mod
+
+
+def _state_from_upstream(obj: "_UpstreamStub") -> dict:
+    """Map an upstream HashTable instance's attributes onto the dict schema.
+
+    Upstream attributes (hash_table.py:~60-110): hashbits, depth,
+    maxtimebits, table, counts, names, hashesperid (uint32), params,
+    ht_version, dirty.  Very old tables may predate maxtimebits; default 14
+    (maxtime 16384), the constant upstream used before it was a parameter.
+    """
+    d = dict(getattr(obj, "__dict__", {}))
+    version = int(d.get("ht_version", 0))
+    if version < UPSTREAM_OLD_COMPAT:
+        raise ValueError(
+            f"upstream hash table version {version} predates "
+            f"{UPSTREAM_OLD_COMPAT}; not loadable (same floor as upstream)")
+    for key in ("hashbits", "depth", "table", "counts", "names"):
+        if key not in d:
+            raise ValueError(
+                f"upstream hash table missing attribute {key!r}")
+    maxtimebits = int(d.get("maxtimebits", 14))
+    params = dict(d.get("params") or {})
+    params.setdefault("loaded_from_upstream_version", version)
+    n_ids = len(d["names"])
+    hashesperid = np.asarray(
+        d.get("hashesperid", np.zeros(n_ids, np.uint32))).astype(np.int64)
+    return {
+        "ht_version": HT_VERSION,
+        "hashbits": int(d["hashbits"]),
+        "depth": int(d["depth"]),
+        "maxtime": 1 << maxtimebits,
+        "seed": 0,
+        "table": np.ascontiguousarray(d["table"], dtype=np.uint32),
+        "counts": np.ascontiguousarray(d["counts"], dtype=np.int32),
+        "names": list(d["names"]),
+        "hashesperid": hashesperid,
+        "params": params,
+    }
 
 
 class HashTable:
@@ -295,9 +385,41 @@ class HashTable:
         nfiles = sum(1 for n in self.names if n is not None)
         print(f"Saved fprints for {nfiles} files ({nhashes} hashes) to {name}")
 
+    def save_upstream(self, name: str, params: dict | None = None) -> None:
+        """Write an upstream-audfprint-compatible `.pklz`: a gzip pickle of a
+        `hash_table.HashTable` class instance with upstream's attribute
+        layout (hash_table.py:~250-330), loadable by the reference tool."""
+        if params:
+            self.params.update(params)
+        cls = _upstream_module().HashTable
+        obj = cls()
+        obj.ht_version = UPSTREAM_HT_VERSION
+        obj.hashbits = self.hashbits
+        obj.depth = self.depth
+        obj.maxtimebits = self.maxtimebits
+        obj.table = self.table
+        obj.counts = self.counts
+        obj.names = list(self.names)
+        obj.hashesperid = np.asarray(
+            np.minimum(self.hashesperid, 2**32 - 1), dtype=np.uint32)
+        obj.params = {k: v for k, v in self.params.items()
+                      if k != "loaded_from_upstream_version"}
+        obj.dirty = False
+        with gzip.open(name, "wb") as f:
+            pickle.dump(obj, f, protocol=2)   # upstream is py2/py3 pickle
+        self.dirty = False
+        nhashes = self.totalhashes()
+        nfiles = sum(1 for n in self.names if n is not None)
+        print(f"Saved fprints for {nfiles} files ({nhashes} hashes) to {name}")
+
     def load(self, name: str) -> None:
         with gzip.open(name, "rb") as f:
-            state = pickle.load(f)
+            state = _UpstreamUnpickler(f).load()
+        if isinstance(state, _UpstreamStub):
+            state = _state_from_upstream(state)
+        elif not isinstance(state, dict):
+            raise ValueError(
+                f"unrecognized hash table pickle ({type(state).__name__})")
         if state["ht_version"] < HT_COMPAT_VERSION:
             raise ValueError(
                 f"incompatible hash table version {state['ht_version']}")
