@@ -126,6 +126,23 @@ def _state_from_upstream(obj: "_UpstreamStub") -> dict:
     }
 
 
+def _stored_entry_streams(ht: "HashTable"):
+    """Flat (bucket, within-bucket rank, entry) streams of every *stored*
+    entry of `ht`, in bucket-major slot order — the replay order of the
+    reference's merge (hash_table.py:~340-400).  O(total entries)."""
+    stored = np.minimum(ht.counts, ht.depth).astype(np.int64)
+    nzb = np.nonzero(stored)[0]
+    if len(nzb) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.uint32))
+    k = stored[nzb]
+    hs = np.repeat(nzb, k)
+    starts = np.cumsum(k) - k
+    ranks = np.arange(len(hs), dtype=np.int64) - np.repeat(starts, k)
+    es = ht.table[hs, ranks]
+    return hs, ranks, es
+
+
 class HashTable:
     def __init__(self, filename: str | None = None,
                  hashbits: int = P.TABLE_HASHBITS,
@@ -290,20 +307,25 @@ class HashTable:
         self.names.extend(other.names)
         self.hashesperid = np.concatenate([self.hashesperid, other.hashesperid])
         idoffsetval = np.uint32(idoffset << self.maxtimebits)
-        for h in np.nonzero(other.counts)[0]:
-            nstored = min(other.depth, int(other.counts[h]))
-            count = int(self.counts[h])
-            for e in other.table[h, :nstored]:
-                e = np.uint32(e + idoffsetval)
-                if count < self.depth:
-                    self.table[h, count] = e
-                else:
-                    slot = int(prng.reservoir_slot(h, count, self.seed))
-                    if slot < self.depth:
-                        self.table[h, slot] = e
-                count += 1
-            # true combined pressure, as the reference records
-            self.counts[h] = int(self.counts[h]) + int(other.counts[h])
+        # Vectorized replay of other's stored entries in (bucket, slot) order
+        # — the same sort/rank/scatter formulation as store_vectorized, O(N
+        # entries) instead of a Python loop over nonzero buckets.  Sequential
+        # semantics preserved: entry k of bucket h lands at insertion
+        # position counts[h]+k (reservoir past depth); duplicate (bucket,
+        # slot) scatters keep the LAST in replay order, as numpy fancy
+        # assignment does for index-ordered duplicates.
+        hs, ranks, es = _stored_entry_streams(other)
+        if len(hs):
+            es = (es + idoffsetval).astype(np.uint32)
+            pos = self.counts[hs].astype(np.int64) + ranks
+            slot = np.where(
+                pos < self.depth, pos,
+                prng.reservoir_slot(hs, np.maximum(pos, self.depth),
+                                    self.seed))
+            write = slot < self.depth
+            self.table[hs[write], slot[write]] = es[write]
+        # true combined pressure, as the reference records
+        self.counts = self.counts + other.counts
         if not self.params and other.params:
             self.params = dict(other.params)
         self.dirty = True

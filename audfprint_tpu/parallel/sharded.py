@@ -123,21 +123,13 @@ def sharded_merge_fn(mesh: Mesh, cfg: DT.TableConfig):
 
 def entry_streams(ht, id_offset: int = 0):
     """Host HashTable -> flat (hashes, entries, valid) replay streams in
-    bucket-major, slot order (== the reference merge's replay order)."""
-    stored = np.minimum(ht.counts, ht.depth)
-    nz = np.nonzero(stored)[0]
-    hashes, entries = [], []
-    for h in nz:
-        k = stored[h]
-        hashes.append(np.full(k, h, np.int32))
-        entries.append(ht.table[h, :k].astype(np.uint32)
-                       + np.uint32(id_offset << ht.maxtimebits))
-    if not hashes:
-        return (np.zeros(0, np.int32), np.zeros(0, np.uint32),
-                np.zeros(0, bool))
-    hs = np.concatenate(hashes)
-    es = np.concatenate(entries)
-    return hs, es, np.ones(len(hs), bool)
+    bucket-major, slot order (== the reference merge's replay order).
+    Vectorized O(total entries) — shared with HashTable.merge."""
+    from audfprint_tpu.index.hash_table import _stored_entry_streams
+
+    hs, _ranks, es = _stored_entry_streams(ht)
+    es = (es + np.uint32(id_offset << ht.maxtimebits)).astype(np.uint32)
+    return hs.astype(np.int32), es, np.ones(len(hs), bool)
 
 
 def dp_fingerprint_fn(mesh: Mesh, cfg):

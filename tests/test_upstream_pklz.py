@@ -177,3 +177,54 @@ def test_save_upstream_load_roundtrip(tmp_path, capsys):
     assert ht2.maxtime == ht.maxtime
     q = np.stack([np.zeros(50, np.int64), pairs[:, 1]], axis=1)
     np.testing.assert_array_equal(ht2.get_hits(q), ht.get_hits(q))
+
+
+def _merge_loop_reference(self, other):
+    """The round-1 per-bucket Python merge loop, kept as the equivalence
+    oracle for the vectorized HashTable.merge."""
+    from audfprint_tpu.utils import prng
+    idoffset = len(self.names)
+    self.names.extend(other.names)
+    self.hashesperid = np.concatenate([self.hashesperid, other.hashesperid])
+    idoffsetval = np.uint32(idoffset << self.maxtimebits)
+    for h in np.nonzero(other.counts)[0]:
+        nstored = min(other.depth, int(other.counts[h]))
+        count = int(self.counts[h])
+        for e in other.table[h, :nstored]:
+            e = np.uint32(e + idoffsetval)
+            if count < self.depth:
+                self.table[h, count] = e
+            else:
+                slot = int(prng.reservoir_slot(h, count, self.seed))
+                if slot < self.depth:
+                    self.table[h, slot] = e
+            count += 1
+        self.counts[h] = int(self.counts[h]) + int(other.counts[h])
+
+
+def _random_table(seed, n_tracks, n_pairs, hashbits=10, depth=4,
+                  maxtime=256):
+    rng = np.random.default_rng(seed)
+    ht = HashTable(hashbits=hashbits, depth=depth, maxtime=maxtime)
+    for i in range(n_tracks):
+        pairs = np.stack([rng.integers(0, maxtime, n_pairs),
+                          rng.integers(0, 1 << hashbits, n_pairs)], axis=1)
+        ht.store_vectorized(f"t{seed}_{i}.wav", pairs)
+    return ht
+
+
+@pytest.mark.parametrize("n_pairs", [50, 2000])   # 2000 forces overflow
+def test_vectorized_merge_matches_loop(n_pairs):
+    a1 = _random_table(1, 3, n_pairs)
+    b = _random_table(2, 2, n_pairs)
+    a2 = HashTable(hashbits=a1.hashbits, depth=a1.depth, maxtime=a1.maxtime)
+    a2.table = a1.table.copy()
+    a2.counts = a1.counts.copy()
+    a2.names = list(a1.names)
+    a2.hashesperid = a1.hashesperid.copy()
+    a1.merge(b)
+    _merge_loop_reference(a2, b)
+    np.testing.assert_array_equal(a1.table, a2.table)
+    np.testing.assert_array_equal(a1.counts, a2.counts)
+    assert a1.names == a2.names
+    np.testing.assert_array_equal(a1.hashesperid, a2.hashesperid)
