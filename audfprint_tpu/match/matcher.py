@@ -108,7 +108,8 @@ class Matcher:
             find_time_range=self.find_time_range,
             time_quantile=self.time_quantile,
             sort_by_time=self.sort_by_time,
-            qt_cap=qt_cap, n_ids_cap=ncap)
+            qt_cap=qt_cap, n_ids_cap=ncap,
+            modes_cap=max(4, self.max_returns))
         import jax.numpy as jnp
         out = voting.match_batch(table, counts, hpi, jnp.asarray(tt),
                                  jnp.asarray(hh), jnp.asarray(vv), tcfg, mcfg)

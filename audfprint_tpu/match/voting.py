@@ -8,18 +8,24 @@ candidates are processed together as scatter-adds into a
 masked argmax reductions — no data-dependent shapes anywhere.
 
 Bit-compat contract vs audfprint_tpu.oracle.match.match_hashes:
-  * candidate ranking: raw count / hashesperid, ties -> lower id (top_k)
-  * mode: first argmax of the +/-window-smeared dt histogram over the
-    candidate's own dt domain (bins below the candidate's min dt masked,
-    matching the oracle's bincount starting at dtmin)
-  * approx count: smeared value at mode; exact count: #distinct query rows
-    with an aligned hit (query rows are pre-deduped, so distinct row ==
-    distinct (qtime, hash) — the oracle's _unique_match_hashes)
+  * candidate ranking: raw count / hashesperid, ties -> HIGHER id (the
+    upstream np.argsort(wcounts)[::-1] rule)
+  * approx (default): mode = first argmax of the +/-window-smeared dt
+    histogram over the candidate's own dt domain (bins below the
+    candidate's min dt masked, matching the oracle's bincount starting at
+    dtmin); count = smeared value at mode; one row per candidate
+  * exact (--exact-count): modes = local maxima of the RAW histogram
+    within +/-window with count >= threshcount (oracle find_modes); ONE
+    ROW PER MODE, counted as #distinct query rows with an aligned hit
+    (rows are pre-deduped, so distinct row == distinct (qtime, hash) —
+    _unique_match_hashes).  modes_cap bounds modes per candidate with
+    static shape, but selection is BY the exact count, so returned rows
+    are provably oracle-identical whenever modes_cap >= max_returns
   * time range: integer-index quantiles over the aligned-hit qtime multiset
 
 The core is written against *combiner* callables so the identical code runs
 single-device (identity combiners) and table-sharded under shard_map (psum /
-pmin / pmax over the mesh axis; see audfprint_tpu.parallel.sharded) with
+pmin over the mesh axis; see audfprint_tpu.parallel.sharded) with
 bit-identical results.
 """
 
@@ -49,6 +55,10 @@ class MatchConfig(NamedTuple):
     sort_by_time: bool = False
     qt_cap: int = 2048          # max query frame index + 1 (static)
     n_ids_cap: int = 4096       # id-space capacity (static, >= #tracks)
+    modes_cap: int = 4          # exact-count: result rows kept per
+                                # candidate (static-shape cap; results are
+                                # exact whenever modes_cap >= max_returns,
+                                # see match_core)
 
     @classmethod
     def from_params(cls, mp: P.MatcherParams, qt_cap: int = 2048,
@@ -67,11 +77,10 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
                tcfg: DT.TableConfig, mcfg: MatchConfig,
                bucket_lo: jax.Array | int = 0,
                sum_all: Callable = _ident,
-               min_all: Callable = _ident,
-               max_all: Callable = _ident):
+               min_all: Callable = _ident):
     """Voting over a (possibly shard-local) table.
 
-    `sum_all`/`min_all`/`max_all` combine per-shard partials across the mesh
+    `sum_all`/`min_all` combine per-shard partials across the mesh
     axis (identity when unsharded).  Returns dict of (B, max_returns) arrays:
     ids, filtcount, mode_dt, rawcount, min_t, max_t, rvalid; plus n_results.
     """
@@ -86,9 +95,6 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
     id_f = ids3.reshape(B, H)
     dt_f = dts3.reshape(B, H)
     v_f = hv3.reshape(B, H)
-    qi_f = jnp.broadcast_to(
-        jnp.arange(Q, dtype=jnp.int32)[None, :, None],
-        (B, Q, tcfg.depth)).reshape(B, H)
     qt_f = jnp.broadcast_to(qtimes[:, :, None],
                             (B, Q, tcfg.depth)).reshape(B, H)
     bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, H))
@@ -99,14 +105,14 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
                   .at[bidx, id_safe].add(v_f.astype(jnp.int32)))
     hpi = jnp.maximum(1, hashesperid).astype(jnp.float32)
     wc = jnp.where(raw > 0, raw.astype(jnp.float32) / hpi[None, :], -1.0)
-    # top-SD via one stable sort (lax.top_k's k=100 partial-sort lowering
-    # measured slower); stable ascending sort of -wc keeps ties id-asc,
-    # exactly top_k's tie rule
+    # top-SD via one sort (lax.top_k's k=100 partial-sort lowering measured
+    # slower); two keys (-wc, -id) put ties id-DESC, the upstream
+    # np.argsort(wcounts)[::-1] tie rule (oracle best_count_ids)
     iota_ids = jnp.broadcast_to(
         jnp.arange(mcfg.n_ids_cap, dtype=jnp.int32)[None, :],
         (B, mcfg.n_ids_cap))
-    negw_s, ids_s = jax.lax.sort((-wc, iota_ids), num_keys=1,
-                                 is_stable=True)
+    negw_s, _negi, ids_s = jax.lax.sort((-wc, -iota_ids, iota_ids),
+                                        num_keys=2)
     candw = -negw_s[:, :SD]
     cand_ids = ids_s[:, :SD]
     cand_valid = candw > 0.0
@@ -119,66 +125,155 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
         jnp.broadcast_to(jnp.arange(SD, dtype=jnp.int32)[None, :], (B, SD)))
     rank_f = jnp.where(v_f, rankmap[bidx, id_safe], SD)
 
-    # 3. per-candidate dt histogram (combined) + smear + masked argmax
+    # 3. per-candidate dt histogram (combined) + per-candidate mode bins.
+    #    approx (default): one mode per candidate = masked argmax of the
+    #      +/-W box-smeared histogram (oracle _smeared_hist), count = smear
+    #      at mode.
+    #    exact (--exact-count): Mc = modes_cap modes per candidate = local
+    #      maxima of the RAW histogram within +/-W with count >=
+    #      max(1, threshcount) (oracle find_modes), chosen by (exact count
+    #      desc, bin asc); each mode becomes its own result row.
     dtbin_f = jnp.clip(dt_f + mcfg.qt_cap, 0, nbins - 1)
     hist = sum_all(jnp.zeros((B, SD + 1, nbins), jnp.int32).at[
         bidx, rank_f, dtbin_f].add(v_f.astype(jnp.int32))[:, :SD])
-    # +/-W box smear: direct (2W+1)-tap shifted sum — far cheaper than a
-    # full cumsum over the bins axis for small W (exact integer math)
+    binid = jnp.arange(nbins, dtype=jnp.int32)
     zpad = jnp.zeros((B, SD, W), jnp.int32)
     histp = jnp.concatenate([zpad, hist, zpad], axis=-1)
-    smeared = histp[..., : nbins]
-    for o in range(1, 2 * W + 1):
-        smeared = smeared + histp[..., o: o + nbins]
-    # smeared[d] == sum over hist[d-W .. d+W]
-    dtmin = min_all(jnp.full((B, SD + 1), _I32MAX, jnp.int32).at[
-        bidx, rank_f].min(jnp.where(v_f, dtbin_f, _I32MAX))[:, :SD])
-    binid = jnp.arange(nbins, dtype=jnp.int32)
-    sm = jnp.where(binid[None, None, :] >= dtmin[..., None], smeared, -1)
-    mode_bin = jnp.argmax(sm, axis=-1).astype(jnp.int32)    # first max
-    filt_approx = jnp.max(sm, axis=-1)
+    Mc = max(1, mcfg.modes_cap) if mcfg.exact_count else 1
 
-    # 4. aligned hits and counts (per-shard stats combined after the fact)
-    aligned = (v_f
-               & (jnp.abs(dtbin_f
-                          - mode_bin[bidx, jnp.minimum(rank_f, SD - 1)]) <= W)
-               & (rank_f < SD))
     if mcfg.exact_count:
-        anyq = max_all(jnp.zeros((B, SD + 1, Q), jnp.int32).at[
-            bidx, rank_f, qi_f].max(aligned.astype(jnp.int32))[:, :SD])
-        filt = jnp.sum(anyq, axis=-1)
-    else:
-        filt = filt_approx
+        wmax = histp[..., : nbins]
+        for o in range(1, 2 * W + 1):
+            wmax = jnp.maximum(wmax, histp[..., o: o + nbins])
+        ismode = (hist == wmax) & (hist >= max(1, mcfg.threshcount))
 
-    # 5. aligned-qtime quantile range
-    if mcfg.find_time_range:
-        qthist = sum_all(jnp.zeros((B, SD + 1, mcfg.qt_cap), jnp.int32).at[
-            bidx, rank_f, jnp.clip(qt_f, 0, mcfg.qt_cap - 1)].add(
-            aligned.astype(jnp.int32))[:, :SD])
-        qcsum = jnp.cumsum(qthist, axis=-1)
-        nq = qcsum[..., -1]
-        k0 = (mcfg.time_quantile * nq.astype(jnp.float32)).astype(jnp.int32)
-        k1 = jnp.maximum(
-            0, ((1.0 - mcfg.time_quantile) * nq.astype(jnp.float32))
-            .astype(jnp.int32) - 1)
-        min_t = jnp.argmax(qcsum >= (k0 + 1)[..., None], axis=-1)
-        max_t = jnp.argmax(qcsum >= (k1 + 1)[..., None], axis=-1)
-        min_t = jnp.where(nq > 0, min_t, 0).astype(jnp.int32)
-        max_t = jnp.where(nq > 0, max_t, 0).astype(jnp.int32)
-    else:
-        min_t = jnp.zeros((B, SD), jnp.int32)
-        max_t = jnp.zeros((B, SD), jnp.int32)
+        # Exact unique-row coverage U(m) = #distinct query rows with >= 1
+        # hit in [m-W, m+W], for EVERY bin, via interval difference arrays:
+        #   C(m) = sum over hits of window indicator  (multi-counts rows)
+        #   D(m) = sum over CONSECUTIVE same-(qrow, candidate) sorted hit
+        #          pairs of their window intersection indicator
+        #   U = C - D   (the hits of a row covering m are contiguous in
+        #               sorted order, so count-1[covered] telescopes into
+        #               consecutive-pair overlaps — exact, not approximate)
+        # Selecting per-candidate modes by U itself makes the returned rows
+        # provably identical to the oracle's unbounded find_modes list
+        # whenever modes_cap >= max_returns: every discarded mode is
+        # dominated by all kept modes of its own candidate under the final
+        # (count desc, cand rank, bin asc) order.
+        depth = tcfg.depth
+        EXT = nbins + 2 * W + 2          # buffer index = bin + W
+        one = v_f.astype(jnp.int32)
+        diff = jnp.zeros((B, SD + 1, EXT), jnp.int32)
+        diff = diff.at[bidx, rank_f, dtbin_f].add(one)
+        diff = diff.at[bidx, rank_f, dtbin_f + 2 * W + 1].add(-one)
+        # sort each query row's hits by (candidate rank, dt) to expose
+        # consecutive same-candidate pairs; invalid hits (rank SD) sort last
+        rank3 = rank_f.reshape(B, Q, depth)
+        dtbin3 = dtbin_f.reshape(B, Q, depth)
+        r_s, d_s = jax.lax.sort((rank3, dtbin3), num_keys=2)
+        pair_ok = ((r_s[..., :-1] == r_s[..., 1:])
+                   & (r_s[..., 1:] < SD)
+                   & (d_s[..., 1:] - d_s[..., :-1] <= 2 * W))
+        pone = pair_ok.astype(jnp.int32)
+        rank_p = jnp.where(pair_ok, r_s[..., 1:], SD)
+        bidx3 = jnp.broadcast_to(
+            jnp.arange(B)[:, None, None], (B, Q, depth - 1))
+        diff = diff.at[bidx3, rank_p, d_s[..., 1:]].add(-pone)
+        diff = diff.at[bidx3, rank_p, d_s[..., :-1] + 2 * W + 1].add(pone)
+        uext = jnp.cumsum(sum_all(diff[:, :SD]), axis=-1)
+        ucov = uext[..., W: W + nbins]                  # (B, SD, nbins)
 
-    # 6. rank rows: count-desc (stable on candidate rank), filter, optional
-    #    sort-by-time, truncate to max_returns
-    keep = cand_valid & (filt >= mcfg.threshcount)
-    rank_iota = jnp.broadcast_to(
-        jnp.arange(SD, dtype=jnp.int32)[None, :], (B, SD))
+        mscore = jnp.where(ismode, ucov, -1)
+        mode_bins, mode_oks, mode_filts = [], [], []
+        for _s in range(Mc):
+            mb = jnp.argmax(mscore, axis=-1).astype(jnp.int32)  # ties->low bin
+            mv = jnp.take_along_axis(mscore, mb[..., None], axis=-1)[..., 0]
+            mode_bins.append(mb)
+            mode_oks.append(mv > 0)
+            mode_filts.append(mv)
+            mscore = jnp.where(binid[None, None, :] == mb[..., None],
+                               -1, mscore)
+        mode_bin = jnp.stack(mode_bins, axis=-1)          # (B, SD, Mc)
+        mode_ok = jnp.stack(mode_oks, axis=-1)
+        filt_exact = jnp.stack(mode_filts, axis=-1)
+        filt_approx = None
+    else:
+        # +/-W box smear: direct (2W+1)-tap shifted sum — far cheaper than
+        # a full cumsum over the bins axis for small W (exact integer math)
+        smeared = histp[..., : nbins]
+        for o in range(1, 2 * W + 1):
+            smeared = smeared + histp[..., o: o + nbins]
+        # smeared[d] == sum over hist[d-W .. d+W]; argmax over the
+        # candidate's own dt domain (bins below its min dt masked)
+        dtmin = min_all(jnp.full((B, SD + 1), _I32MAX, jnp.int32).at[
+            bidx, rank_f].min(jnp.where(v_f, dtbin_f, _I32MAX))[:, :SD])
+        sm = jnp.where(binid[None, None, :] >= dtmin[..., None], smeared, -1)
+        mode_bin = jnp.argmax(sm, axis=-1).astype(jnp.int32)[..., None]
+        mode_ok = jnp.ones((B, SD, 1), bool)
+        filt_approx = jnp.max(sm, axis=-1)
+
+    # 4+5. per (candidate, mode slot): filtered count (exact counts already
+    #      computed bin-wise above) and optional qtime quantile range
+    #      (per-shard partials combined)
+    filts, min_ts, max_ts = [], [], []
+    for s in range(Mc):
+        mb_s = mode_bin[:, :, s]
+        aligned = (v_f
+                   & (jnp.abs(dtbin_f
+                              - mb_s[bidx, jnp.minimum(rank_f, SD - 1)]) <= W)
+                   & (rank_f < SD))
+        if mcfg.exact_count:
+            # exact count = U at the mode: #distinct query rows with an
+            # aligned hit (rows are pre-deduped, so == #unique (qtime,
+            # hash) — the oracle's _unique_match_hashes)
+            filts.append(filt_exact[:, :, s])
+        else:
+            filts.append(filt_approx)
+        if mcfg.find_time_range:
+            qthist = sum_all(
+                jnp.zeros((B, SD + 1, mcfg.qt_cap), jnp.int32).at[
+                    bidx, rank_f, jnp.clip(qt_f, 0, mcfg.qt_cap - 1)].add(
+                    aligned.astype(jnp.int32))[:, :SD])
+            qcsum = jnp.cumsum(qthist, axis=-1)
+            nq = qcsum[..., -1]
+            k0 = (mcfg.time_quantile
+                  * nq.astype(jnp.float32)).astype(jnp.int32)
+            k1 = jnp.maximum(
+                0, ((1.0 - mcfg.time_quantile) * nq.astype(jnp.float32))
+                .astype(jnp.int32) - 1)
+            mn = jnp.argmax(qcsum >= (k0 + 1)[..., None], axis=-1)
+            mx = jnp.argmax(qcsum >= (k1 + 1)[..., None], axis=-1)
+            min_ts.append(jnp.where(nq > 0, mn, 0).astype(jnp.int32))
+            max_ts.append(jnp.where(nq > 0, mx, 0).astype(jnp.int32))
+        else:
+            min_ts.append(jnp.zeros((B, SD), jnp.int32))
+            max_ts.append(jnp.zeros((B, SD), jnp.int32))
+    filt = jnp.stack(filts, axis=-1)                      # (B, SD, Mc)
+    min_t = jnp.stack(min_ts, axis=-1)
+    max_t = jnp.stack(max_ts, axis=-1)
+
+    # 6. rank rows over (candidate, mode) pairs: count-desc, stable on
+    #    (candidate rank, mode bin asc) — the oracle's append order —
+    #    filter, optional sort-by-time, truncate to max_returns
+    R = SD * Mc
+    flat = lambda a: a.reshape(B, R)  # noqa: E731
+    keep = flat(cand_valid[:, :, None] & mode_ok
+                & (filt >= mcfg.threshcount))
+    filt_r = flat(filt)
+    mode_r = flat(mode_bin)
+    min_r, max_r = flat(min_t), flat(max_t)
+    ids_r = flat(jnp.broadcast_to(cand_ids[:, :, None], (B, SD, Mc)))
+    raw_r = flat(jnp.broadcast_to(cand_raw[:, :, None], (B, SD, Mc)))
+    rank_r = flat(jnp.broadcast_to(
+        jnp.arange(SD, dtype=jnp.int32)[None, :, None], (B, SD, Mc)))
+    iota_r = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[None, :], (B, R))
     k_first = jnp.where(keep, 0, 1).astype(jnp.int32)
     if mcfg.sort_by_time:
-        keys = (k_first, jnp.where(keep, mode_bin, _I32MAX), -filt, rank_iota)
+        keys = (k_first, jnp.where(keep, mode_r, _I32MAX), -filt_r,
+                rank_r, mode_r, iota_r)
     else:
-        keys = (k_first, -filt, rank_iota)
+        keys = (k_first, -filt_r, rank_r, mode_r, iota_r)
     # sort only the keys (the last, unique key doubles as the permutation)
     # and gather the payloads — a much smaller comparator than a variadic
     # 10-operand sort (compile-size matters on this target)
@@ -186,8 +281,8 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
     sel = perm[:, : mcfg.max_returns]
     take = lambda a: jnp.take_along_axis(a, sel, axis=1)  # noqa: E731
     r_ids, r_filt, r_mode, r_raw, r_min, r_max, r_keep = (
-        take(cand_ids), take(filt), take(mode_bin), take(cand_raw),
-        take(min_t), take(max_t), take(keep.astype(jnp.int32)))
+        take(ids_r), take(filt_r), take(mode_r), take(raw_r),
+        take(min_r), take(max_r), take(keep.astype(jnp.int32)))
     return {
         "ids": r_ids,
         "filtcount": r_filt,

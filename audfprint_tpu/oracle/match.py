@@ -5,19 +5,22 @@ Given query (time, hash) rows and a HashTable:
 
   1. hits = ht.get_hits(hashes)
   2. candidate ids ranked by raw hit count weighted by 1/hashesperid
-     (_best_count_ids, audfprint_match.py:~180)
-  3. per candidate: delta-t histogram smeared over +/-window; mode = argmax
-     (ties -> smallest dt, matching bincount argmax); filtered count =
-     smeared count at mode (approx) or #unique (qtime, hash) among aligned
-     hits (exact, _exact_match_counts)
+     (_best_count_ids, audfprint_match.py:~180); ties -> HIGHER id, the
+     upstream np.argsort(wcounts)[::-1] rule (ADVICE r1)
+  3. per candidate:
+       approx (default): delta-t histogram smeared over +/-window; mode =
+         argmax (ties -> smallest dt); filtered count = smeared count at
+         mode (_approx_match_counts — can overcount duplicate hashes);
+         ONE row per candidate.
+       exact (--exact-count): find_modes() = every local-maximum bin of the
+         RAW histogram (maximal within +/-window, count >= threshcount);
+         ONE ROW PER MODE, each counted as #unique (qtime, hash) among its
+         aligned hits (_exact_match_counts / _unique_match_hashes) — so one
+         track matching a query at two offsets yields two rows under -x 2.
   4. optional [q, 1-q] quantile time range of aligned query times
-  5. rank by filtered count desc, drop < threshcount, return <= max_returns
-     rows (id, filtcount, mode_dt, rawcount, min_t, max_t)
-
-Note vs reference: the reference's _exact_match_counts can emit one row per
-*local-maximum mode* of a track's histogram (find_modes); this rebuild emits
-the single global mode per track — identical for the default
-max_returns=1/top-1 contract (documented simplification).
+  5. rank all rows by filtered count desc (stable: candidate rank, then
+     mode bin asc), drop < threshcount, return <= max_returns rows
+     (id, filtcount, mode_dt, rawcount, min_t, max_t)
 
 This module is the gold standard for the batched on-device matcher in
 `audfprint_tpu.match`.
@@ -63,13 +66,16 @@ def _smeared_hist(dts: np.ndarray, window: int):
 
 
 def best_count_ids(hits: np.ndarray, ht):
-    """Candidate ids by descending (rawcount / hashesperid); ties -> lower id."""
+    """Candidate ids by descending (rawcount / hashesperid); ties -> higher
+    id, matching upstream's np.argsort(wcounts)[::-1] (_best_count_ids,
+    audfprint_match.py:~180; reversing a stable ascending sort puts the
+    higher index first among equals)."""
     allids = hits[:, 0]
     ids = np.unique(allids)
     rawcounts = np.bincount(allids)[ids]
     wcounts = rawcounts.astype(np.float64) / np.maximum(
         1, ht.hashesperid[ids].astype(np.float64))
-    order = np.argsort(-wcounts, kind="stable")
+    order = np.argsort(wcounts, kind="stable")[::-1]
     return rawcounts[order], ids[order]
 
 
@@ -93,24 +99,34 @@ def match_hashes(ht, hashes, mparams: P.MatcherParams | None = None) -> np.ndarr
     for id_, rawcount in zip(ids, rawcounts):
         sel = allids == id_
         dts = alldts[sel]
-        dtmin, smeared = _smeared_hist(dts, mparams.window)
-        mode = int(np.argmax(smeared)) + dtmin
-        aligned = sel & (np.abs(alldts - mode) <= mparams.window)
         if mparams.exact_count:
-            # unique (qtime, hash) pairs among aligned hits
-            # (_unique_match_hashes, audfprint_match.py:~200)
-            packed = (allhashes[aligned] << 32) + allqtimes[aligned]
-            filtcount = len(np.unique(packed))
+            # one row per local-maximum mode of the raw histogram
+            # (_exact_match_counts + find_modes, audfprint_match.py:~120/~200)
+            modes, _ = find_modes(dts, threshold=max(1, mparams.threshcount),
+                                  window=mparams.window)
+            mode_list = [int(m) for m in modes]
         else:
-            filtcount = int(np.max(smeared))
-        if mparams.find_time_range:
-            sq = np.sort(allqtimes[aligned])
-            nq = len(sq)
-            min_t = int(sq[int(mparams.time_quantile * nq)])
-            max_t = int(sq[max(0, int((1 - mparams.time_quantile) * nq) - 1)])
-        else:
-            min_t, max_t = 0, 0
-        rows.append([int(id_), filtcount, mode, int(rawcount), min_t, max_t])
+            dtmin, smeared = _smeared_hist(dts, mparams.window)
+            mode_list = [int(np.argmax(smeared)) + dtmin]
+        for mode in mode_list:
+            aligned = sel & (np.abs(alldts - mode) <= mparams.window)
+            if mparams.exact_count:
+                # unique (qtime, hash) pairs among aligned hits
+                # (_unique_match_hashes, audfprint_match.py:~200)
+                packed = (allhashes[aligned] << 32) + allqtimes[aligned]
+                filtcount = len(np.unique(packed))
+            else:
+                filtcount = int(np.max(smeared))
+            if mparams.find_time_range:
+                sq = np.sort(allqtimes[aligned])
+                nq = len(sq)
+                min_t = int(sq[int(mparams.time_quantile * nq)])
+                max_t = int(sq[max(0, int((1 - mparams.time_quantile) * nq)
+                                  - 1)])
+            else:
+                min_t, max_t = 0, 0
+            rows.append([int(id_), filtcount, mode, int(rawcount),
+                         min_t, max_t])
 
     results = np.array(rows, dtype=np.int64).reshape(-1, 6)
     # stable sort by filtered count desc (preserves candidate rank on ties)

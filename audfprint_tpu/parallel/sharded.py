@@ -11,8 +11,11 @@ partials are combined with XLA collectives (psum/pmin/pmax over ICI):
          the same deterministic-reservoir scatter (device_table.store_batch_
          local) -> no collectives at all.
   match: local raw-count partials -> psum -> identical candidate set on all
-         shards -> local dt-histogram partials -> psum -> identical voting
-         everywhere -> replicated results.  Bit-identical to single-device.
+         shards -> local dt-histogram / coverage-diff partials -> psum ->
+         identical voting everywhere -> replicated results.  Bit-identical
+         to single-device (a query hash's hits all live on the shard owning
+         its bucket, so the exact-count consecutive-pair correction is
+         shard-local by construction).
 
 Analysis (fingerprinting) is pure data parallelism over the batch axis
 (SURVEY §2.2 row 1): jit with a P('d', None) input sharding; no collectives.
@@ -89,8 +92,7 @@ def sharded_match_fn(mesh: Mesh, tcfg: DT.TableConfig,
         return voting.match_core(
             table, counts, hpi, qt, qh, qv, tcfg, mcfg, bucket_lo=lo,
             sum_all=functools.partial(jax.lax.psum, axis_name="d"),
-            min_all=functools.partial(jax.lax.pmin, axis_name="d"),
-            max_all=functools.partial(jax.lax.pmax, axis_name="d"))
+            min_all=functools.partial(jax.lax.pmin, axis_name="d"))
 
     f = shard_map(_local, mesh=mesh,
                   in_specs=(PS("d", None), PS("d"), PS(), PS(), PS(), PS()),

@@ -1,0 +1,142 @@
+"""Multi-mode exact-count rows + candidate tie-break (VERDICT r1 missing #1,
+ADVICE r1): the reference's _exact_match_counts emits one row per
+local-maximum dt mode per track (find_modes), and _best_count_ids breaks
+weighted-count ties toward the HIGHER id.  Oracle and device matcher must
+agree exactly."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from audfprint_tpu import params as P  # noqa: E402
+from audfprint_tpu.index import device_table as DT  # noqa: E402
+from audfprint_tpu.index.hash_table import HashTable  # noqa: E402
+from audfprint_tpu.match import voting  # noqa: E402
+from audfprint_tpu.oracle import match as om  # noqa: E402
+
+TCFG = DT.TableConfig(hashbits=12, depth=8, maxtimebits=10, seed=0)
+
+
+def _device_match(ht, q, mp, qt_cap=128, n_ids_cap=16):
+    table = jnp.asarray(ht.table)
+    counts = jnp.asarray(ht.counts)
+    hpi = np.zeros(n_ids_cap, np.int32)
+    hpi[: len(ht.hashesperid)] = ht.hashesperid
+    mcfg = voting.MatchConfig.from_params(mp, qt_cap=qt_cap,
+                                          n_ids_cap=n_ids_cap)
+    mcfg = mcfg._replace(modes_cap=max(4, mp.max_returns))
+    Q = 128
+    qt = np.zeros((1, Q), np.int32)
+    qh = np.zeros((1, Q), np.int32)
+    qv = np.zeros((1, Q), bool)
+    qt[0, : len(q)] = q[:, 0]
+    qh[0, : len(q)] = q[:, 1]
+    qv[0, : len(q)] = True
+    out = voting.match_batch(table, counts, jnp.asarray(hpi),
+                             jnp.asarray(qt), jnp.asarray(qh),
+                             jnp.asarray(qv), TCFG, mcfg)
+    n = int(out["n_results"][0])
+    return np.stack([np.asarray(out[k])[0] for k in
+                     ("ids", "filtcount", "mode_dt", "rawcount",
+                      "min_t", "max_t")], axis=1)[:n].astype(np.int64)
+
+
+def test_one_track_two_offsets_two_rows():
+    """A query matching the same track at two offsets yields two rows under
+    --exact-count -x 2 (the reference's find_modes behavior)."""
+    ht = HashTable(hashbits=TCFG.hashbits, depth=TCFG.depth,
+                   maxtime=TCFG.maxtime, seed=TCFG.seed)
+    rng = np.random.default_rng(5)
+    hashes = rng.choice(1 << 12, size=40, replace=False)
+    # track: hashes at times 100.. and (a different subset) at 500..
+    track = np.concatenate([
+        np.stack([100 + np.arange(20), hashes[:20]], axis=1),
+        np.stack([500 + np.arange(20), hashes[20:]], axis=1)])
+    ht.store_vectorized("song.wav", track.astype(np.int64))
+    # query at times 0..19 hits offset +100 with the first subset and
+    # offset +500 with the second (e.g. a medley repeating the hook)
+    q = np.concatenate([
+        np.stack([np.arange(20), hashes[:20]], axis=1),
+        np.stack([np.arange(20), hashes[20:]], axis=1)]).astype(np.int32)
+    mp = P.MatcherParams(max_returns=2, exact_count=True, threshcount=5,
+                         search_depth=8, find_time_range=True)
+    want = om.match_hashes(ht, q, mp)
+    assert want.shape[0] == 2, want
+    assert set(want[:, 0]) == {0}
+    assert sorted(want[:, 2].tolist()) == [100, 500]
+    assert (want[:, 1] == 20).all()           # exact count per mode
+    got = _device_match(ht, q, mp)
+    np.testing.assert_array_equal(got, want)
+    # top-1 contract unchanged: -x 1 returns the single best mode row
+    mp1 = mp.__class__(**{**mp.__dict__, "max_returns": 1})
+    want1 = om.match_hashes(ht, q, mp1)
+    got1 = _device_match(ht, q, mp1)
+    np.testing.assert_array_equal(got1, want1)
+    assert want1.shape[0] == 1
+
+
+def test_exact_count_ranks_modes_by_unique_count():
+    """A mode with a lower raw histogram peak but more unique aligned rows
+    must outrank a taller-but-narrow mode (the adversarial case that broke
+    raw-count mode selection)."""
+    ht = HashTable(hashbits=TCFG.hashbits, depth=TCFG.depth,
+                   maxtime=TCFG.maxtime, seed=TCFG.seed)
+    rng = np.random.default_rng(6)
+    hs = rng.choice(1 << 12, size=30, replace=False)
+    # mode A at dt=200: 4 hits all at exactly dt=200 (raw peak 4, unique 4)
+    # mode B at dt=600: 8 hits spread over dt in {598..602} (raw peak <= 3,
+    # window-unique 8)
+    track = np.concatenate([
+        np.stack([200 + np.arange(4), hs[:4]], axis=1),
+        np.stack([600 + np.array([-2, -1, -1, 0, 0, 1, 2, 2])
+                  + np.arange(8), hs[4:12]], axis=1)])
+    ht.store_vectorized("t.wav", track.astype(np.int64))
+    q = np.stack([np.arange(12), hs[:12]], axis=1).astype(np.int32)
+    mp = P.MatcherParams(max_returns=2, exact_count=True, threshcount=2,
+                         search_depth=8)
+    want = om.match_hashes(ht, q, mp)
+    got = _device_match(ht, q, mp)
+    np.testing.assert_array_equal(got, want)
+    assert want[0, 1] >= want[1, 1]
+
+
+def test_weighted_tie_breaks_to_higher_id():
+    """Two tracks with identical raw counts and hashesperid: upstream's
+    np.argsort(wcounts)[::-1] puts the higher id first; rows with equal
+    filtered counts must follow that order in oracle and device."""
+    ht = HashTable(hashbits=TCFG.hashbits, depth=TCFG.depth,
+                   maxtime=TCFG.maxtime, seed=TCFG.seed)
+    rng = np.random.default_rng(7)
+    hs = rng.choice(1 << 12, size=10, replace=False)
+    pairs = np.stack([50 + np.arange(10), hs], axis=1).astype(np.int64)
+    ht.store_vectorized("low.wav", pairs)    # id 0
+    ht.store_vectorized("high.wav", pairs)   # id 1, identical content
+    q = np.stack([np.arange(10), hs], axis=1).astype(np.int32)
+    for exact in (False, True):
+        mp = P.MatcherParams(max_returns=2, exact_count=exact,
+                             threshcount=2, search_depth=8)
+        want = om.match_hashes(ht, q, mp)
+        got = _device_match(ht, q, mp)
+        np.testing.assert_array_equal(got, want)
+        assert want[0, 0] == 1 and want[1, 0] == 0, want
+
+
+def test_no_qualifying_mode_returns_empty():
+    """exact-count with threshcount above every raw histogram peak: the
+    reference's find_modes finds nothing, so no rows (even though the
+    window-summed count would pass)."""
+    ht = HashTable(hashbits=TCFG.hashbits, depth=TCFG.depth,
+                   maxtime=TCFG.maxtime, seed=TCFG.seed)
+    rng = np.random.default_rng(8)
+    hs = rng.choice(1 << 12, size=6, replace=False)
+    # 6 hits spread over dt 300..305: raw peak 1, window(2)-sum up to 5
+    track = np.stack([300 + np.arange(6) + np.arange(6), hs], axis=1)
+    ht.store_vectorized("t.wav", track.astype(np.int64))
+    q = np.stack([np.arange(6), hs], axis=1).astype(np.int32)
+    mp = P.MatcherParams(max_returns=2, exact_count=True, threshcount=3,
+                         search_depth=8)
+    want = om.match_hashes(ht, q, mp)
+    got = _device_match(ht, q, mp)
+    assert want.shape[0] == 0 and got.shape[0] == 0
