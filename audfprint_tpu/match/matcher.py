@@ -69,12 +69,29 @@ class Matcher:
 
     # -- core -------------------------------------------------------------
 
+    # Device-memory budget for one voting call's histogram-class buffers.
+    # The envelope (see _voting_bytes_per_row): the dominant buffers scale
+    # as (search_depth+1) x (maxtime + qt_cap) int32 PER QUERY ROW, so long
+    # queries or deep searches are handled by splitting the batch, never by
+    # truncating the query (VERDICT r1: arbitrary-length query parity).
+    mem_budget_bytes: int = 2 << 30
+
+    def _voting_bytes_per_row(self, tcfg, qt_cap: int) -> int:
+        SD = self.search_depth
+        nbins = tcfg.maxtime + qt_cap
+        n_hist = 3 if self.exact_count else 2   # hist(+wmax) / +coverage
+        per = n_hist * (SD + 1) * nbins * 4
+        if self.find_time_range:
+            per += (SD + 1) * qt_cap * 4
+        return per
+
     def match_hashes(self, ht, hashes) -> np.ndarray:
         """Query (t, hash) rows -> (k, 6) int64 result rows
         [id, filtcount, mode_dt, rawcount, min_t, max_t].
 
-        Oracle-identical for queries up to qt_cap (8192 frames ~ 190 s);
-        longer queries have their tail hashes dropped (warned)."""
+        Oracle-identical for ANY query length: the dt-histogram domain is
+        sized to the query (qt_cap = next pow2 of the max query frame), and
+        memory is bounded by splitting the batch, not the query."""
         return self.match_hashes_batch(ht, [np.asarray(hashes)])[0]
 
     def match_hashes_batch(self, ht, hash_lists) -> list:
@@ -86,18 +103,35 @@ class Matcher:
         Q = _next_pow2(maxn, 512)
         maxt = max([1] + [int(h[:, 0].max()) + 1 for h in hash_lists
                           if len(h)])
-        qt_cap = _next_pow2(min(maxt, 1 << 13), 2048)
+        qt_cap = _next_pow2(maxt, 2048)
+        # voting-memory envelope: split the batch so the histogram-class
+        # buffers stay under mem_budget_bytes (a single query always runs,
+        # at sub-batch size 1)
+        per_row = self._voting_bytes_per_row(tcfg, qt_cap)
+        bsub = min(B, max(1, self.mem_budget_bytes // max(1, per_row)))
+        if bsub < B and self.verbose:
+            print(f"Note: splitting {B} queries into sub-batches of {bsub} "
+                  f"(voting buffers ~{per_row >> 20} MiB/query at "
+                  f"qt_cap={qt_cap}, search_depth={self.search_depth})")
+        results = []
+        for i in range(0, B, bsub):
+            chunk = hash_lists[i: i + bsub]
+            # pad the tail so every sub-batch reuses one compiled shape
+            pad = bsub - len(chunk)
+            chunk = list(chunk) + [np.zeros((0, 2), np.int32)] * pad
+            rows = self._match_padded(table, counts, hpi, tcfg, ncap,
+                                      chunk, Q, qt_cap)
+            results.extend(rows[: len(rows) - pad] if pad else rows)
+        return results
+
+    def _match_padded(self, table, counts, hpi, tcfg, ncap,
+                      hash_lists, Q: int, qt_cap: int) -> list:
+        B = len(hash_lists)
         tt = np.zeros((B, Q), np.int32)
         hh = np.zeros((B, Q), np.int32)
         vv = np.zeros((B, Q), bool)
         for b, h in enumerate(hash_lists):
             h = np.asarray(h).reshape(-1, 2)
-            keep = h[:, 0] < qt_cap if len(h) else np.zeros(0, bool)
-            if len(h) and not keep.all():
-                print(f"Warning: query longer than {qt_cap} frames "
-                      f"(~{qt_cap * 256 / 11025:.0f} s); dropping "
-                      f"{int((~keep).sum())} of {len(h)} hashes")
-            h = h[keep]
             tt[b, : len(h)] = h[:, 0]
             hh[b, : len(h)] = h[:, 1]
             vv[b, : len(h)] = True

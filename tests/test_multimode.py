@@ -140,3 +140,62 @@ def test_no_qualifying_mode_returns_empty():
     want = om.match_hashes(ht, q, mp)
     got = _device_match(ht, q, mp)
     assert want.shape[0] == 0 and got.shape[0] == 0
+
+
+def test_long_query_parity_beyond_old_cap():
+    """Queries longer than the old 8192-frame cap (~190 s) must match
+    oracle-identically with no tail truncation (VERDICT r1 #3; reference
+    get_hits/match_hashes handle any query length)."""
+    from audfprint_tpu.match.matcher import Matcher
+    ht = HashTable(hashbits=TCFG.hashbits, depth=TCFG.depth,
+                   maxtime=TCFG.maxtime, seed=TCFG.seed)
+    rng = np.random.default_rng(9)
+    hs = rng.choice(1 << 12, size=60, replace=False)
+    # track hashes at times 0..59 (mod-1024 wrapped domain)
+    track = np.stack([np.arange(60) % TCFG.maxtime, hs], axis=1)
+    ht.store_vectorized("t.wav", track.astype(np.int64))
+    # a ~12800-frame query (~297 s) whose TAIL (frames 12700+) carries the
+    # matching hashes: the old cap dropped exactly these
+    qt = 12700 + np.arange(60)
+    q = np.stack([qt, hs], axis=1).astype(np.int32)
+    # plus unrelated early hashes so the query spans the full length
+    early = np.stack([np.arange(50),
+                      rng.choice(1 << 12, size=50, replace=False)], axis=1)
+    q = np.concatenate([early, q]).astype(np.int32)
+    for exact in (False, True):
+        mp = P.MatcherParams(max_returns=2, exact_count=exact,
+                             threshcount=5, search_depth=8,
+                             find_time_range=True)
+        want = om.match_hashes(ht, q, mp)
+        assert want.shape[0] >= 1, "oracle must find the tail match"
+        m = Matcher(window=mp.window, threshcount=mp.threshcount,
+                    max_returns=mp.max_returns, search_depth=mp.search_depth,
+                    exact_count=exact, find_time_range=True)
+        got = m.match_hashes(ht, q)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_memory_budget_splits_batch_identically(capsys):
+    """A tiny mem budget must split the batch transparently: same rows as
+    one big call (VERDICT r1 #10: fail-safe voting-memory envelope)."""
+    from audfprint_tpu.match.matcher import Matcher
+    ht = HashTable(hashbits=TCFG.hashbits, depth=TCFG.depth,
+                   maxtime=TCFG.maxtime, seed=TCFG.seed)
+    rng = np.random.default_rng(10)
+    queries = []
+    for i in range(6):
+        hs = rng.choice(1 << 12, size=20, replace=False)
+        ht.store_vectorized(f"t{i}.wav", np.stack(
+            [100 * i + np.arange(20), hs], axis=1).astype(np.int64))
+        queries.append(np.stack([np.arange(20), hs], axis=1).astype(np.int32))
+    m = Matcher(threshcount=5, search_depth=8)
+    want = m.match_hashes_batch(ht, queries)
+    m2 = Matcher(threshcount=5, search_depth=8)
+    m2.mem_budget_bytes = 1   # force sub-batch size 1
+    got = m2.match_hashes_batch(ht, queries)
+    out = capsys.readouterr().out
+    assert "splitting 6 queries into sub-batches of 1" in out
+    assert len(got) == len(want) == 6
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+        assert w.shape[0] == 1
