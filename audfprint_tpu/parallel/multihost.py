@@ -5,9 +5,10 @@ SURVEY §2.2 / §5: intra-slice scaling rides ICI via the sharded table
 applies — every host runs the same program, `jax.distributed.initialize`
 wires the DCN layer, and the global mesh spans all processes' devices.
 
-This module is exercised only on real multi-host slices (this build
-environment has a single chip); the sharding logic it feeds is covered by
-the 8-virtual-device CPU tests.
+Tested for real by tests/test_multihost.py: two `jax.distributed` CPU
+processes (localhost coordinator, Gloo collectives, 4 virtual devices each)
+build the 8-device global mesh, run the bucket-sharded store + match across
+the process boundary, and must reproduce the host oracle's rows exactly.
 """
 
 from __future__ import annotations
@@ -42,3 +43,25 @@ def process_local_batch_slice(global_batch: int) -> slice:
     i = jax.process_index()
     per = global_batch // n
     return slice(i * per, (i + 1) * per)
+
+
+def empty_sharded_table(mesh: Mesh, cfg):
+    """Multi-process-safe allocation of the bucket-sharded table.
+
+    `jax.device_put` cannot target another process's devices, so the
+    single-controller `sharded.empty_sharded_table` fails under
+    `jax.distributed`; `make_array_from_callback` has each process fill
+    only its addressable shards.  Works single-process too."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PS
+
+    ndev = mesh.devices.size
+    assert cfg.n_buckets % ndev == 0
+    nloc = cfg.n_buckets // ndev
+    table = jax.make_array_from_callback(
+        (cfg.n_buckets, cfg.depth), NamedSharding(mesh, PS("d", None)),
+        lambda idx: np.zeros((nloc, cfg.depth), np.uint32))
+    counts = jax.make_array_from_callback(
+        (cfg.n_buckets,), NamedSharding(mesh, PS("d")),
+        lambda idx: np.zeros(nloc, np.int32))
+    return table, counts

@@ -1,0 +1,49 @@
+"""Real 2-process jax.distributed exercise of parallel/multihost.py
+(VERDICT r1 #6): localhost coordinator, Gloo CPU collectives, 4 virtual
+devices per process -> 8-device global mesh spanning a process boundary.
+The bucket-sharded store + match must reproduce the host oracle exactly
+(the same bit-identity the single-process 8-device tests pin, now with the
+DCN layer actually in the loop)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_store_and_match(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)                 # worker sets its own
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_TEST_CACHE_DIR"] = "/tmp/jax_cache_audfprint_tests"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # repo only: the axon TPU plugin's sitecustomize initializes the XLA
+    # backend at interpreter start, which jax.distributed.initialize forbids
+    env["PYTHONPATH"] = repo
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} rc={p.returncode}:\n{out[-4000:]}"
+        assert f"MULTIHOST_OK proc={i} devices=8" in out, out[-4000:]
