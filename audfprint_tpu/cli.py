@@ -159,17 +159,19 @@ def _decode_many(analyzer: Analyzer, names: list, ncores: int, report):
     (native/audfp_host.cpp); everything else (other formats, float WAVs,
     decode errors) falls back to the per-file Python/ffmpeg path."""
     results: dict[int, object] = {}
-    todo = list(range(len(names)))
-    if all(n.lower().endswith(".wav") and os.path.exists(n) for n in names):
-        fast = audio_io.read_wav_batch(names, sr=analyzer.target_sr,
+    # the WAV subset takes the native loader even when the chunk mixes
+    # formats (round 1 sent mixed chunks wholesale down the slow path)
+    wav_idx = [i for i, n in enumerate(names)
+               if n.lower().endswith(".wav") and os.path.exists(n)]
+    if wav_idx:
+        fast = audio_io.read_wav_batch([names[i] for i in wav_idx],
+                                       sr=analyzer.target_sr,
                                        n_threads=max(2, ncores))
         if fast is not None:
-            todo = []
-            for i, d in enumerate(fast):
-                if d is None:
-                    todo.append(i)     # native couldn't handle; fall back
-                else:
+            for i, d in zip(wav_idx, fast):
+                if d is not None:      # native couldn't handle; fall back
                     results[i] = d
+    todo = [i for i in range(len(names)) if i not in results]
 
     def _one(name):
         try:
