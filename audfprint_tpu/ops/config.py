@@ -32,7 +32,8 @@ class PipelineConfig(NamedTuple):
 
     @property
     def gsize(self) -> int:
-        return int(4 * self.f_sd)
+        # full-support spreading (see params.gaussian_template)
+        return self.n_bins - 1
 
     @classmethod
     def from_params(cls, ap: P.AnalyzerParams) -> "PipelineConfig":

@@ -54,7 +54,7 @@ def _kernel(m0_hbm, nf_ref, env0f_ref, env0b_ref, gbase_ref,
             valmap_hbm, keptmap_hbm,
             # scratch
             xbuf, vbuf, kbuf, in_sem, out_sem, kout_sem, sth,
-            *, T: int, B: int, F: int, k: int, a_dec: float, gsize: int):
+            *, T: int, B: int, F: int, k: int, a_dec: float):
     C = CHUNK
     NC = T // C
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, F), 1)
@@ -75,19 +75,24 @@ def _kernel(m0_hbm, nf_ref, env0f_ref, env0b_ref, gbase_ref,
             kbuf.at[slot], keptmap_hbm.at[pl.ds(c * C, C)], kout_sem.at[slot])
 
     def gather_bump(pos, ok):
-        """Exact gaussian-bump row centered at per-row `pos` (B,1).
+        """Exact full-support gaussian-bump row centered at per-row `pos`.
 
-        gbase holds the tabulated template centered at lane 0; a per-row
-        variable roll is realized as log2(F) conditional whole-array rolls
-        (pure data movement — bit-exact, no MXU precision passes).  Lanes
-        outside the +/-gsize support (including wrap-around) are masked.
+        gbase is the DOUBLE-WIDTH (2F lanes) template g2[i] = gauss(i - F);
+        a per-row variable roll by (pos + F) is realized as log2(2F)
+        conditional whole-array rolls (pure data movement — bit-exact, no
+        MXU precision passes), then the low F lanes are
+        g2[(j - pos - F) mod 2F] = g2[j - pos + F] = gauss(j - pos) for
+        every j, p in [0, F) — full support with no wrap collision (a
+        single-width cyclic roll cannot represent offsets beyond +/-F/2).
         """
-        row = gbase_ref[:] + jnp.zeros((B, F), jnp.float32)
+        row = gbase_ref[:] + jnp.zeros((B, 2 * F), jnp.float32)
+        # the constant +F component of the roll is pre-baked into gbase, so
+        # only log2(F) conditional rolls remain (bit 8 of pos+F is always 1)
         pc = jnp.maximum(pos, 0)
         for kb in range(8):          # F == 256
             bit = (pc >> kb) & 1
             row = jnp.where(bit == 1, pltpu.roll(row, 1 << kb, 1), row)
-        return jnp.where(ok & (jnp.abs(lane - pos) <= gsize), row, 0.0)
+        return jnp.where(ok, row[:, :F], 0.0)
 
     # ---- forward pass ----
     sth[:] = env0f_ref[:]
@@ -207,13 +212,16 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
         n_frames = jnp.concatenate(
             [n_frames, jnp.zeros(Bp - B, n_frames.dtype)])
     gtab = jnp.asarray(PKref._gauss_table(cfg))
-    # template centered at lane 0 (wrapped), for the kernel's variable-roll
-    # gather: gbase[j] = gvec[d + gsize] for d = ((j+128)%256)-128 in support
+    # double-width template for the kernel's variable-roll gather (see
+    # gather_bump): g2[i] = gauss(i - F) for i in [0, 2F), from the SAME
+    # full-support table the oracle uses (g2[0] = gauss(-F) is never
+    # addressed: j - pos >= -(F-1))
     gvec = P.gaussian_template(cfg.f_sd).astype(np.float32)
-    dd = ((np.arange(F) + F // 2) % F) - F // 2
-    gbase = np.where(np.abs(dd) <= cfg.gsize,
-                     gvec[np.clip(dd + cfg.gsize, 0, 2 * cfg.gsize)],
-                     0.0).astype(np.float32)[None, :]
+    dd = np.arange(2 * F) - F                  # offsets -F .. F-1
+    g2 = np.where(np.abs(dd) <= cfg.gsize,
+                  gvec[np.clip(dd + cfg.gsize, 0, 2 * cfg.gsize)],
+                  0.0).astype(np.float32)
+    gbase = np.roll(g2, F)[None, :]            # pre-baked +F roll
 
     # envelope-independent precomputation, vectorized by XLA over all T:
     # HPF, locmax -> candidate value map, and both initial envelopes
@@ -254,8 +262,7 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
         ],
     )
     kern = functools.partial(
-        _kernel, T=Tp, B=Bp, F=F, k=k,
-        a_dec=float(cfg.a_dec), gsize=cfg.gsize)
+        _kernel, T=Tp, B=Bp, F=F, k=k, a_dec=float(cfg.a_dec))
     valmap, keptmap = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

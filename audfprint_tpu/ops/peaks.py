@@ -13,8 +13,8 @@ produce bit-identical peak masks:
   * within-frame ordering (val desc, pos desc) is realized exactly via
     top_k on the bin-reversed array (XLA top_k breaks ties by lower index
     = higher original bin),
-  * the gaussian masking bump is gathered from the same tabulated template
-    as the oracle (zero outside +/- gsize support),
+  * the gaussian masking bump is gathered from the same tabulated
+    full-support template as the oracle,
   * envelopes are provably nonnegative, so "no update outside the bump
     support" == "max with 0" — letting updates be full-width vector maxes.
 """
@@ -34,8 +34,8 @@ _NEG = -jnp.inf
 
 
 def _gauss_table(cfg: PipelineConfig) -> np.ndarray:
-    """(F, F) table: gtab[p, j] = template value of a bump at p evaluated at j
-    (zero outside the +/- gsize support), shared with the oracle."""
+    """(F, F) table: gtab[p, j] = template value of a bump at p evaluated
+    at j (full support), shared with the oracle."""
     gvec = P.gaussian_template(cfg.f_sd).astype(np.float32)
     gsize = cfg.gsize
     F = cfg.n_bins

@@ -91,9 +91,10 @@ def spreadpeaks(peaks, npoints=None, width: float = P.F_SD, base=None,
                 gvec: np.ndarray | None = None) -> np.ndarray:
     """Max of gaussian bumps at (pos, val) peaks over a length-npoints vector.
 
-    Reference audfprint_analyze.py spreadpeaks: the bump is the tabulated
-    template `gaussian_template(width)` with support +/- int(4*width); zero
-    outside (NOT a continued exponential) — part of the compat contract.
+    Reference audfprint_analyze.py spreadpeaks: the bump spans the FULL
+    vector (no truncation; upstream evaluates the exponential over all
+    bins).  Tabulated once in gaussian_template so the TPU kernels index
+    the identical values.
     """
     if base is None:
         vec = np.zeros(npoints, dtype=np.float32)

@@ -97,15 +97,22 @@ def hann_window(n_fft: int = N_FFT) -> np.ndarray:
     return np.hanning(n_fft + 2)[1:-1]
 
 
-def gaussian_template(f_sd: float = F_SD) -> np.ndarray:
+def gaussian_template(f_sd: float = F_SD, gsize: int | None = None
+                      ) -> np.ndarray:
     """Tabulated gaussian bump used for peak spreading.
 
-    Reference: audfprint_analyze.py spreadpeaks (SURVEY §2.3.3 step 4):
-    support is +/- gsize bins with gsize = int(4*f_sd); values
-    exp(-0.5*((i)/f_sd)**2) for i in [-gsize, gsize].  Both the oracle and the
-    TPU kernels index this same table so they agree bit-for-bit.
+    Reference: audfprint_analyze.py spreadpeaks (SURVEY §2.3.3 step 4)
+    evaluates `val * exp(-0.5*((binvals - pos)/width)**2)` over the FULL
+    vector — no truncation (ADVICE r1: round 1 cut the tail at
+    int(4*f_sd), flipping rare near-tie threshold comparisons).  Default
+    support is therefore +/- (N_BINS-1), i.e. every offset reachable in a
+    256-bin spectrum; values exp(-0.5*(i/f_sd)**2) for i in
+    [-gsize, gsize], f64-evaluated then cast where needed.  Both the
+    oracle and the TPU kernels index this same table so they agree
+    bit-for-bit.
     """
-    gsize = int(4 * f_sd)
+    if gsize is None:
+        gsize = N_BINS - 1
     return np.exp(-0.5 * ((np.arange(-gsize, gsize + 1) / float(f_sd)) ** 2))
 
 
@@ -137,7 +144,8 @@ class AnalyzerParams:
 
     @property
     def gsize(self) -> int:
-        return int(4 * self.f_sd)
+        # full-support spreading (see gaussian_template)
+        return self.n_bins - 1
 
     def frame_count(self, n_samples: int) -> int:
         """Frames produced by the no-centering STFT (SURVEY §2.3.2)."""
