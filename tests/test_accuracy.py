@@ -87,3 +87,31 @@ def test_shifts_improve_aligned_counts(db):
     assert len(r4) and r4[0][0] == 3
     if len(r1):
         assert r4[0][1] >= r1[0][1]
+
+
+def test_snr_sweep_recall_curve(db):
+    """Robustness as a CURVE, not a point (VERDICT r1 #8): top-1 recall
+    over decreasing SNR must be high at clean-ish SNRs and monotonically
+    non-increasing within tolerance as noise grows."""
+    analyzer, ht, tracks, rng = db
+    snrs_db = [30, 20, 10, 5, 0]
+    recalls = []
+    queries0, truths = [], []
+    for i in range(N_TRACKS):
+        start = rng.integers(0, int((DUR - 4) * SR))
+        queries0.append(tracks[i][start: start + 4 * SR].copy())
+        truths.append(i)
+    for snr_db in snrs_db:
+        queries = []
+        for clip in queries0:
+            sig_pow = float(np.mean(clip ** 2))
+            noise_pow = sig_pow / (10 ** (snr_db / 10))
+            noise = np.sqrt(noise_pow) * rng.standard_normal(len(clip))
+            queries.append((clip + noise).astype(np.float32))
+        recalls.append(_top1_acc(analyzer, ht, queries, truths))
+    # high recall while noise is mild
+    assert recalls[0] >= 0.9, (snrs_db, recalls)
+    assert recalls[1] >= 0.8, (snrs_db, recalls)
+    # roughly monotone: no step up by more than one query as SNR drops
+    for a, b in zip(recalls, recalls[1:]):
+        assert b <= a + 1.0 / N_TRACKS + 1e-9, (snrs_db, recalls)
