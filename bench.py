@@ -104,6 +104,43 @@ def measure_oracle(dur_sec: float = 10.0, repeats: int = 3):
     return dur_sec / best, len(h)
 
 
+def measure_end_to_end(n_files: int = 64, dur_sec: float = 20.0):
+    """Honest CLI ingest wall time: WAV decode + H2D + device pipeline +
+    host store + .pklz save, through `cli.main` exactly as a user runs it.
+
+    Returns (audio_sec_per_sec, stage_seconds dict).  NOTE on this
+    container: the TPU sits behind an HTTP relay (~27 MB/s H2D, ~1 s
+    round-trip per dispatch), so this number measures the tunnel, not the
+    chip — report it alongside the chip-rate, never instead of it
+    (docs/DESIGN.md "Measured performance" has the attribution).
+    """
+    import tempfile
+
+    from audfprint_tpu.cli import main as cli_main
+    from audfprint_tpu.utils.audio import audio_write_wav
+
+    sr = 11025
+    n = int(dur_sec * sr)
+    base = synth_batch(8, n)
+    with tempfile.TemporaryDirectory() as d:
+        import os
+        wavs = []
+        rng = np.random.default_rng(17)
+        for i in range(n_files):
+            x = base[i % 8] + 0.001 * rng.standard_normal(n).astype(np.float32)
+            p = os.path.join(d, f"t{i}.wav")
+            audio_write_wav(p, x, sr)
+            wavs.append(p)
+        db = os.path.join(d, "db.pklz")
+        metrics = os.path.join(d, "m.json")
+        t0 = time.time()
+        cli_main(["new", "-d", db, "-o", os.devnull,
+                  "--json-metrics", metrics, *wavs])
+        elapsed = time.time() - t0
+        stages = json.load(open(metrics)).get("stage_seconds", {})
+    return n_files * dur_sec / elapsed, stages
+
+
 # Reference single-core throughput anchor (audio-sec/sec): conservative top
 # of BASELINE.md's "~10-30x real time, single x86 core" range.
 REFERENCE_BASELINE_AS_PER_SEC = 30.0
@@ -123,6 +160,11 @@ def main():
         orc_tput, _ = measure_oracle()
         out["oracle_single_core_as_per_sec"] = round(orc_tput, 1)
         out["vs_own_oracle"] = round(dev_tput / orc_tput, 2)
+    if "--all" in sys.argv or "--e2e" in sys.argv:
+        e2e, stages = measure_end_to_end()
+        out["end_to_end_as_per_sec"] = round(e2e, 1)
+        out["end_to_end_stages_s"] = {k: round(v, 2)
+                                      for k, v in stages.items()}
     print(json.dumps(out))
 
 
