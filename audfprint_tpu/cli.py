@@ -85,6 +85,7 @@ def make_parser() -> argparse.ArgumentParser:
     a("-p", "--precompdir", type=str, default=".")
     a("-I", "--illustrate", action="store_true")
     a("-J", "--illustrate-hpf", dest="illustrate_hpf", action="store_true")
+    a("--sonify", action="store_true")
     a("-v", "--verbose", type=int, default=1)
     a("--batchsize", type=int, default=16,
       help="files analyzed per device batch (TPU-native knob)")
@@ -116,7 +117,8 @@ def setup_matcher(args) -> Matcher:
                    sort_by_time=args.sortbytime,
                    verbose=args.verbose,
                    illustrate=args.illustrate,
-                   illustrate_hpf=args.illustrate_hpf)
+                   illustrate_hpf=args.illustrate_hpf,
+                   sonify=args.sonify)
 
 
 def filename_list_iterator(filelist, wavdir: str, wavext: str,

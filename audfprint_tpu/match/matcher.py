@@ -35,7 +35,8 @@ class Matcher:
                  sort_by_time: bool = False,
                  verbose: int = 1,
                  illustrate: bool = False,
-                 illustrate_hpf: bool = False):
+                 illustrate_hpf: bool = False,
+                 sonify: bool = False):
         self.window = window
         self.threshcount = threshcount
         self.max_returns = max_returns
@@ -47,6 +48,7 @@ class Matcher:
         self.verbose = verbose
         self.illustrate = illustrate
         self.illustrate_hpf = illustrate_hpf
+        self.sonify = sonify
         self._dev = None          # (ht id, revision) -> device state
 
     # -- device cache -----------------------------------------------------
@@ -211,6 +213,8 @@ class Matcher:
                     msgrslt.append(qrymsg + "\t" + name)
         if self.illustrate or self.illustrate_hpf:
             self.illustrate_match(analyzer, ht, qry)
+        if self.sonify:
+            self.sonify_match(analyzer, ht, qry)
         return msgrslt
 
     # -- diagnostics --------------------------------------------------------
@@ -262,3 +266,53 @@ class Matcher:
         plt.close(fig)
         print(f"illustrate_match: wrote {out_png}")
         return out_png
+
+    def sonify_match(self, analyzer, ht, filename: str,
+                     out_wav: str | None = None):
+        """Resynthesize the query's landmarks as sine-pair chirps so a human
+        can audition what the fingerprinter extracted; matched landmarks are
+        rendered louder (the audible analog of illustrate_match; SURVEY
+        §2.3.5 [L] — upstream's Matlab ancestor had this, the Python port's
+        flag is vestigial, so this is a faithful reconstruction).
+        Writes <filename>.sonify.wav."""
+        import numpy as np
+
+        from audfprint_tpu.oracle import analyze as oa
+        from audfprint_tpu.utils.audio import audio_write_wav
+
+        sr = analyzer.target_sr
+        d = analyzer.read_audio(filename)
+        hashes = analyzer.samples2hashes(d)
+        rows = self.match_hashes(ht, hashes)
+        matched: set = set()
+        if len(rows):
+            mode = int(rows[0][2])
+            tid = int(rows[0][0])
+            hits = ht.get_hits(hashes)
+            alig = hits[(hits[:, 0] == tid)
+                        & (np.abs(hits[:, 1] - mode) <= self.window)]
+            matched = {(int(q), int(h))
+                       for h, q in zip(alig[:, 2], alig[:, 3])}
+        lmks = oa.hashes2landmarks(hashes)
+        out = np.zeros(len(d), np.float32)
+        t_hop = analyzer.n_hop
+        bin_hz = sr / float(analyzer.n_fft)
+        for (t, f1, f2, dt), (tq, hsh) in zip(
+                lmks, ((int(r[0]), int(r[1])) for r in hashes)):
+            amp = 0.5 if (tq, hsh) in matched else 0.12
+            s0 = t * t_hop
+            n = max(1, int(dt * t_hop))
+            if s0 + n > len(out):
+                continue
+            tt = np.arange(n) / sr
+            env = np.hanning(n) if n > 1 else np.ones(1)
+            seg = 0.5 * np.sin(2 * np.pi * f1 * bin_hz * tt)
+            seg += 0.5 * np.sin(2 * np.pi * f2 * bin_hz * tt)
+            out[s0: s0 + n] += (amp * env * seg).astype(np.float32)
+        peak = float(np.abs(out).max())
+        if peak > 0:
+            out = out / peak * 0.7
+        out_wav = out_wav or filename + ".sonify.wav"
+        audio_write_wav(out_wav, out, sr)
+        print(f"sonify_match: wrote {out_wav}")
+        return out_wav

@@ -249,3 +249,17 @@ def test_upstream_short_flag_mapping():
     assert args.shifts == 4
     assert args.freq_sd == 25.0
     assert args.ncores == 8
+
+
+def test_sonify_writes_wav(fixture_dir, tmp_path, capsys):
+    import shutil as _sh
+    db = tmp_path / "s.pklz"
+    q = tmp_path / "query.wav"
+    _sh.copy(fixture_dir / "query.wav", q)
+    _run(capsys, ["new", "-d", db, *COMMON, fixture_dir / "track1.wav"])
+    out = _run(capsys, ["match", "-d", db, *COMMON, "--sonify", str(q)])
+    assert "sonify_match: wrote" in out
+    son = str(q) + ".sonify.wav"
+    import wave
+    with wave.open(son) as w:
+        assert w.getnframes() > 0 and w.getframerate() == 11025
