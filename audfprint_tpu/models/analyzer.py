@@ -56,6 +56,11 @@ class Analyzer:
         self.f_sd = f_sd
         self.fail_on_error = fail_on_error
         self.soundfiledur = 0.0   # duration of last-analyzed file (reference)
+        # rows per device dispatch: bounds HBM for huge ingest lists and
+        # keeps batch shapes on the small set of already-compiled graphs
+        # (an uncapped 1000-row batch forces a one-off multi-minute compile
+        # and a ~1.4 GB transfer; 128 matches the benchmark steady state)
+        self.max_batch_rows = 128
 
     # -- config ---------------------------------------------------------
 
@@ -168,15 +173,18 @@ class Analyzer:
         for i in order:
             groups.setdefault(_bucket_len(len(signals[i])), []).append(i)
         handle = []
-        for blen, idxs in groups.items():
-            batch = np.zeros((len(idxs), blen), np.float32)
-            lens = np.zeros(len(idxs), np.int32)
-            for row, i in enumerate(idxs):
-                batch[row, : len(signals[i])] = signals[i]
-                lens[row] = len(signals[i])
-            dev = pipe.fingerprint_batch(jnp.asarray(batch),
-                                         jnp.asarray(lens), self.config)
-            handle.append((idxs, dev))
+        rows_cap = max(1, int(self.max_batch_rows))
+        for blen, g_idxs in groups.items():
+            for i0 in range(0, len(g_idxs), rows_cap):
+                idxs = g_idxs[i0: i0 + rows_cap]
+                batch = np.zeros((len(idxs), blen), np.float32)
+                lens = np.zeros(len(idxs), np.int32)
+                for row, i in enumerate(idxs):
+                    batch[row, : len(signals[i])] = signals[i]
+                    lens[row] = len(signals[i])
+                dev = pipe.fingerprint_batch(jnp.asarray(batch),
+                                             jnp.asarray(lens), self.config)
+                handle.append((idxs, dev))
         return (len(signals), handle)
 
     def fingerprint_resolve(self, handle) -> list:
