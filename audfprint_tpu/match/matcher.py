@@ -79,6 +79,7 @@ class Matcher:
     mem_budget_bytes: int = 2 << 30
 
     def _voting_bytes_per_row(self, tcfg, qt_cap: int) -> int:
+        """Hist-core footprint estimate: bin-domain buffers per query row."""
         SD = self.search_depth
         nbins = tcfg.maxtime + qt_cap
         n_hist = 3 if self.exact_count else 2   # hist(+wmax) / +coverage
@@ -86,6 +87,12 @@ class Matcher:
         if self.find_time_range:
             per += (SD + 1) * qt_cap * 4
         return per
+
+    @staticmethod
+    def _sorted_bytes_per_row(tcfg, Q: int) -> int:
+        """Sorted-core footprint estimate: ~16 hit-domain int32 arrays per
+        row (sorts double-buffer), independent of maxtime/query length."""
+        return 16 * Q * tcfg.depth * 4
 
     def match_hashes(self, ht, hashes) -> np.ndarray:
         """Query (t, hash) rows -> (k, 6) int64 result rows
@@ -106,13 +113,20 @@ class Matcher:
         maxt = max([1] + [int(h[:, 0].max()) + 1 for h in hash_lists
                           if len(h)])
         qt_cap = _next_pow2(maxt, 2048)
-        # voting-memory envelope: split the batch so the histogram-class
-        # buffers stay under mem_budget_bytes (a single query always runs,
-        # at sub-batch size 1)
+        # voting-memory envelope: the hist core's bin-domain buffers grow
+        # with query length; when they would blow the budget, dispatch to
+        # the sort-based core (O(B*H) memory, maxtime-independent) and only
+        # split the batch if even that estimate exceeds the budget (a
+        # single query always runs, at sub-batch size 1)
         per_row = self._voting_bytes_per_row(tcfg, qt_cap)
+        core = "hist"
+        if B * per_row > self.mem_budget_bytes:
+            core = "sorted"
+            per_row = self._sorted_bytes_per_row(tcfg, Q)
         bsub = min(B, max(1, self.mem_budget_bytes // max(1, per_row)))
-        if bsub < B and self.verbose:
-            print(f"Note: splitting {B} queries into sub-batches of {bsub} "
+        if (core == "sorted" or bsub < B) and self.verbose:
+            print(f"Note: using the {core} voting core, "
+                  f"splitting {B} queries into sub-batches of {bsub} "
                   f"(voting buffers ~{per_row >> 20} MiB/query at "
                   f"qt_cap={qt_cap}, search_depth={self.search_depth})")
         results = []
@@ -122,12 +136,13 @@ class Matcher:
             pad = bsub - len(chunk)
             chunk = list(chunk) + [np.zeros((0, 2), np.int32)] * pad
             rows = self._match_padded(table, counts, hpi, tcfg, ncap,
-                                      chunk, Q, qt_cap)
+                                      chunk, Q, qt_cap, core)
             results.extend(rows[: len(rows) - pad] if pad else rows)
         return results
 
     def _match_padded(self, table, counts, hpi, tcfg, ncap,
-                      hash_lists, Q: int, qt_cap: int) -> list:
+                      hash_lists, Q: int, qt_cap: int,
+                      core: str = "hist") -> list:
         B = len(hash_lists)
         tt = np.zeros((B, Q), np.int32)
         hh = np.zeros((B, Q), np.int32)
@@ -147,8 +162,10 @@ class Matcher:
             qt_cap=qt_cap, n_ids_cap=ncap,
             modes_cap=max(4, self.max_returns))
         import jax.numpy as jnp
-        out = voting.match_batch(table, counts, hpi, jnp.asarray(tt),
-                                 jnp.asarray(hh), jnp.asarray(vv), tcfg, mcfg)
+        fn = (voting.match_batch_sorted if core == "sorted"
+              else voting.match_batch_hist)
+        out = fn(table, counts, hpi, jnp.asarray(tt),
+                 jnp.asarray(hh), jnp.asarray(vv), tcfg, mcfg)
         out = {k: np.asarray(v) for k, v in out.items()}
         results = []
         for b in range(B):

@@ -72,6 +72,41 @@ class MatchConfig(NamedTuple):
                    qt_cap=qt_cap, n_ids_cap=n_ids_cap)
 
 
+def _select_candidates(id_f, v_f, bidx, hashesperid, mcfg: MatchConfig,
+                       sum_all: Callable = _ident):
+    """Raw counts per id (combined across shards) -> weighted top-SD
+    candidates + per-hit candidate ranks.
+
+    Ranking: raw count / hashesperid; ties id-DESC via two sort keys
+    (-wc, -id) — the upstream np.argsort(wcounts)[::-1] tie rule (oracle
+    best_count_ids).  One full sort (lax.top_k's k=100 partial-sort
+    lowering measured slower).  Returns (cand_ids, cand_raw, cand_valid
+    (B, SD); rank_f (B, H) with SD = "not a candidate").
+    """
+    B = id_f.shape[0]
+    SD = mcfg.search_depth
+    id_safe = jnp.where(v_f, jnp.minimum(id_f, mcfg.n_ids_cap - 1), 0)
+    raw = sum_all(jnp.zeros((B, mcfg.n_ids_cap), jnp.int32)
+                  .at[bidx, id_safe].add(v_f.astype(jnp.int32)))
+    hpi = jnp.maximum(1, hashesperid).astype(jnp.float32)
+    wc = jnp.where(raw > 0, raw.astype(jnp.float32) / hpi[None, :], -1.0)
+    iota_ids = jnp.broadcast_to(
+        jnp.arange(mcfg.n_ids_cap, dtype=jnp.int32)[None, :],
+        (B, mcfg.n_ids_cap))
+    negw_s, _negi, ids_s = jax.lax.sort((-wc, -iota_ids, iota_ids),
+                                        num_keys=2)
+    candw = -negw_s[:, :SD]
+    cand_ids = ids_s[:, :SD]
+    cand_valid = candw > 0.0
+    cand_raw = jnp.take_along_axis(raw, cand_ids, axis=1)
+    rankmap = jnp.full((B, mcfg.n_ids_cap), SD, jnp.int32)
+    rankmap = rankmap.at[
+        jnp.arange(B)[:, None], cand_ids].set(
+        jnp.broadcast_to(jnp.arange(SD, dtype=jnp.int32)[None, :], (B, SD)))
+    rank_f = jnp.where(v_f, rankmap[bidx, id_safe], SD)
+    return cand_ids, cand_raw, cand_valid, rank_f
+
+
 def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
                qtimes: jax.Array, qhashes: jax.Array, qvalid: jax.Array,
                tcfg: DT.TableConfig, mcfg: MatchConfig,
@@ -99,31 +134,9 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
                             (B, Q, tcfg.depth)).reshape(B, H)
     bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, H))
 
-    # 1. raw counts per id (combined across shards), weighted top-SD
-    id_safe = jnp.where(v_f, jnp.minimum(id_f, mcfg.n_ids_cap - 1), 0)
-    raw = sum_all(jnp.zeros((B, mcfg.n_ids_cap), jnp.int32)
-                  .at[bidx, id_safe].add(v_f.astype(jnp.int32)))
-    hpi = jnp.maximum(1, hashesperid).astype(jnp.float32)
-    wc = jnp.where(raw > 0, raw.astype(jnp.float32) / hpi[None, :], -1.0)
-    # top-SD via one sort (lax.top_k's k=100 partial-sort lowering measured
-    # slower); two keys (-wc, -id) put ties id-DESC, the upstream
-    # np.argsort(wcounts)[::-1] tie rule (oracle best_count_ids)
-    iota_ids = jnp.broadcast_to(
-        jnp.arange(mcfg.n_ids_cap, dtype=jnp.int32)[None, :],
-        (B, mcfg.n_ids_cap))
-    negw_s, _negi, ids_s = jax.lax.sort((-wc, -iota_ids, iota_ids),
-                                        num_keys=2)
-    candw = -negw_s[:, :SD]
-    cand_ids = ids_s[:, :SD]
-    cand_valid = candw > 0.0
-    cand_raw = jnp.take_along_axis(raw, cand_ids, axis=1)
-
-    # 2. hit -> candidate rank (SD = "not a candidate" bucket)
-    rankmap = jnp.full((B, mcfg.n_ids_cap), SD, jnp.int32)
-    rankmap = rankmap.at[
-        jnp.arange(B)[:, None], cand_ids].set(
-        jnp.broadcast_to(jnp.arange(SD, dtype=jnp.int32)[None, :], (B, SD)))
-    rank_f = jnp.where(v_f, rankmap[bidx, id_safe], SD)
+    # 1+2. candidate selection + per-hit candidate ranks (shared helper)
+    (cand_ids, cand_raw, cand_valid, rank_f) = _select_candidates(
+        id_f, v_f, bidx, hashesperid, mcfg, sum_all)
 
     # 3. per-candidate dt histogram (combined) + per-candidate mode bins.
     #    approx (default): one mode per candidate = masked argmax of the
@@ -252,9 +265,17 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
     min_t = jnp.stack(min_ts, axis=-1)
     max_t = jnp.stack(max_ts, axis=-1)
 
-    # 6. rank rows over (candidate, mode) pairs: count-desc, stable on
-    #    (candidate rank, mode bin asc) — the oracle's append order —
-    #    filter, optional sort-by-time, truncate to max_returns
+    # 6. rank rows over (candidate, mode) pairs (shared helper)
+    return _rank_rows(cand_ids, cand_raw, cand_valid, mode_bin, mode_ok,
+                      filt, min_t, max_t, mcfg)
+
+
+def _rank_rows(cand_ids, cand_raw, cand_valid, mode_bin, mode_ok, filt,
+               min_t, max_t, mcfg: MatchConfig):
+    """Rank (candidate, mode) rows: count-desc, stable on (candidate rank,
+    mode bin asc) — the oracle's append order — filter, optional
+    sort-by-time, truncate to max_returns.  All inputs (B, SD, Mc)."""
+    B, SD, Mc = filt.shape
     R = SD * Mc
     flat = lambda a: a.reshape(B, R)  # noqa: E731
     keep = flat(cand_valid[:, :, None] & mode_ok
@@ -283,22 +304,254 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
     r_ids, r_filt, r_mode, r_raw, r_min, r_max, r_keep = (
         take(ids_r), take(filt_r), take(mode_r), take(raw_r),
         take(min_r), take(max_r), take(keep.astype(jnp.int32)))
+    # rows past n_results are don't-cares; zero them so every core
+    # (hist / sorted / sharded) returns bit-identical arrays
+    kb = r_keep.astype(bool)
+    z = lambda a: jnp.where(kb, a, 0)  # noqa: E731
     return {
-        "ids": r_ids,
-        "filtcount": r_filt,
-        "mode_dt": r_mode - mcfg.qt_cap,
-        "rawcount": r_raw,
-        "min_t": r_min,
-        "max_t": r_max,
-        "rvalid": r_keep.astype(bool),
+        "ids": z(r_ids),
+        "filtcount": z(r_filt),
+        "mode_dt": z(r_mode - mcfg.qt_cap),
+        "rawcount": z(r_raw),
+        "min_t": z(r_min),
+        "max_t": z(r_max),
+        "rvalid": kb,
         "n_results": jnp.minimum(jnp.sum(keep, axis=1), mcfg.max_returns),
     }
 
 
+def _vss(sorted2d: jax.Array, q2d: jax.Array, side: str) -> jax.Array:
+    """Row-wise searchsorted: (B, N) sorted rows x (B, M) queries."""
+    return jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side=side, method="sort")
+    )(sorted2d, q2d)
+
+
+def match_core_sorted(table: jax.Array, counts: jax.Array,
+                      hashesperid: jax.Array, qtimes: jax.Array,
+                      qhashes: jax.Array, qvalid: jax.Array,
+                      tcfg: DT.TableConfig, mcfg: MatchConfig):
+    """Single-device voting with NO histogram-sized buffers.
+
+    The hist-based match_core materializes (B, SD, maxtime + qt_cap)
+    integer buffers — the memory wall and the dominant cost at scale (the
+    scatter-add serializes on the TPU).  This formulation replaces every
+    bin-domain array with sorts + row-wise binary searches over the (B, H)
+    hit set, using two exact identities:
+
+      * windowed-sum mode: the +/-W smeared histogram is piecewise constant
+        between "event points", and its first masked argmax is always at
+        p_i = max(dtmin, d_i - W) for some hit i — so evaluating the window
+        range-count ONLY at the H event points finds the exact oracle mode
+        (value by searchsorted range count, tie -> smallest p).
+      * exact unique-row count U(m) = C(m) - D(m): window range-count of
+        hits minus the count of consecutive same-(query-row, candidate)
+        sorted hit pairs whose windows both cover m (the coverage-interval
+        telescoping identity; see match_core).  Both terms are searchsorted
+        range counts over presorted arrays.
+
+    Everything is O(B*H log H) with H = Q * depth, independent of maxtime
+    and query length.  Bit-identical to match_core / the oracle (shared
+    tests); used by match_batch for single-device matching, while the
+    sharded path keeps the psum-combinable hist core.
+    """
+    B, Q = qhashes.shape
+    SD = mcfg.search_depth
+    W = mcfg.window
+    Mc = max(1, mcfg.modes_cap) if mcfg.exact_count else 1
+    nbins = tcfg.maxtime + mcfg.qt_cap
+    assert (SD + 1) * nbins < 2**31, "rank/bin key exceeds int32"
+
+    ids3, dts3, hv3 = DT.get_hits_local(
+        table, counts, qtimes, qhashes, qvalid, tcfg, 0)
+    H = Q * tcfg.depth
+    id_f = ids3.reshape(B, H)
+    dt_f = dts3.reshape(B, H)
+    v_f = hv3.reshape(B, H)
+    qt_f = jnp.broadcast_to(qtimes[:, :, None],
+                            (B, Q, tcfg.depth)).reshape(B, H)
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, H))
+
+    (cand_ids, cand_raw, cand_valid, rank_f) = _select_candidates(
+        id_f, v_f, bidx, hashesperid, mcfg)
+
+    dtbin_f = jnp.clip(dt_f + mcfg.qt_cap, 0, nbins - 1)
+    # one combined (rank, bin) key; invalid hits (rank SD) sort last
+    k_s = jax.lax.sort(rank_f * nbins + dtbin_f)
+    r_s = k_s // nbins
+    d_s = k_s % nbins
+    val_s = r_s < SD
+    iota_h = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None], (B, H))
+
+    # per-hit dtmin of its candidate: value at the first index of its
+    # rank run (d ascending within a run), propagated by cummax of starts
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), r_s[:, 1:] != r_s[:, :-1]], axis=1)
+    start_idx = jax.lax.cummax(jnp.where(first, iota_h, 0), axis=1)
+    dtmin_h = jnp.take_along_axis(d_s, start_idx, axis=1)
+
+    def window_count(center):
+        """#hits with same rank and |d - center| <= W, per hit."""
+        lo = _vss(k_s, r_s * nbins + jnp.maximum(center - W, 0), "left")
+        hi = _vss(k_s, r_s * nbins + jnp.minimum(center + W, nbins - 1),
+                  "right")
+        return (hi - lo).astype(jnp.int32)
+
+    def per_rank_best(score, pos, valid):
+        """Per candidate: max score, then min pos among the maxima.
+        Returns (best_score (B, SD+1), best_pos (B, SD+1))."""
+        s_safe = jnp.where(valid, score, -1)
+        best = jnp.full((B, SD + 1), -1, jnp.int32).at[
+            bidx, r_s].max(s_safe)
+        is_best = valid & (s_safe == best[bidx, r_s])
+        bpos = jnp.full((B, SD + 1), _I32MAX, jnp.int32).at[
+            bidx, r_s].min(jnp.where(is_best, pos, _I32MAX))
+        return best, bpos
+
+    if not mcfg.exact_count:
+        # approx: evaluate the smear at every event point p = max(dtmin,
+        # d - W); winner per candidate = (max count, then smallest p)
+        p_h = jnp.maximum(dtmin_h, d_s - W)
+        s_h = window_count(p_h)
+        best, bpos = per_rank_best(s_h, p_h, val_s)
+        filt = best[:, :SD, None]
+        mode_bin = bpos[:, :SD, None]
+        mode_ok = jnp.ones((B, SD, 1), bool)
+    else:
+        # run (distinct (rank, bin)) boundaries and counts
+        run_lo = _vss(k_s, k_s, "left")
+        run_hi = _vss(k_s, k_s, "right")
+        c_h = (run_hi - run_lo).astype(jnp.int32)
+        is_start = iota_h == run_lo
+        # window max of run counts: walk up to W runs each side (distinct
+        # integer bins within +/-W = at most W runs per side)
+        nb_max = jnp.zeros((B, H), jnp.int32)
+        idx_f = run_hi
+        idx_b = run_lo - 1
+        for _ in range(W):
+            kf = jnp.take_along_axis(k_s, jnp.minimum(idx_f, H - 1), axis=1)
+            okf = (idx_f < H) & (kf // nbins == r_s) & (kf % nbins - d_s <= W)
+            cf = (_vss(k_s, kf, "right") - idx_f).astype(jnp.int32)
+            nb_max = jnp.maximum(nb_max, jnp.where(okf, cf, 0))
+            idx_f = idx_f + jnp.where(okf, cf, 0)
+            kb = jnp.take_along_axis(k_s, jnp.maximum(idx_b, 0), axis=1)
+            lob = _vss(k_s, kb, "left")
+            okb = (idx_b >= 0) & (kb // nbins == r_s) & (d_s - kb % nbins <= W)
+            cb = (idx_b + 1 - lob).astype(jnp.int32)
+            nb_max = jnp.maximum(nb_max, jnp.where(okb, cb, 0))
+            idx_b = jnp.where(okb, lob, idx_b) - jnp.where(okb, 1, 0)
+        ismode = (is_start & val_s & (c_h >= max(1, mcfg.threshcount))
+                  & (c_h >= nb_max))
+
+        # U(d) = C(d) - D(d) at each mode candidate (see docstring)
+        c_cov = window_count(d_s)
+        # consecutive same-(query-row, candidate) pairs from the per-row
+        # sort (a query hash's hits are contiguous rows of the (B, Q,
+        # depth) layout)
+        rank3 = rank_f.reshape(B, Q, tcfg.depth)
+        dtbin3 = dtbin_f.reshape(B, Q, tcfg.depth)
+        r3s, d3s = jax.lax.sort((rank3, dtbin3), num_keys=2)
+        pair_ok = ((r3s[..., :-1] == r3s[..., 1:])
+                   & (r3s[..., 1:] < SD)
+                   & (d3s[..., 1:] - d3s[..., :-1] <= 2 * W))
+        NP = Q * (tcfg.depth - 1)
+        span = nbins + 2 * W + 2
+        pr = jnp.where(pair_ok, r3s[..., 1:], SD).reshape(B, NP)
+        # intersection interval in bin space, +W offset so starts >= 0
+        pstart = (pr * span
+                  + jnp.where(pair_ok, d3s[..., 1:] - W,
+                              0).reshape(B, NP) + W)
+        pend = (pr * span
+                + jnp.where(pair_ok, d3s[..., :-1] + W,
+                            0).reshape(B, NP) + W)
+        ps_sorted = jax.lax.sort(pstart)
+        pe_sorted = jax.lax.sort(pend)
+        mq = r_s * span + d_s + W
+        d_cov = (_vss(ps_sorted, mq, "right")
+                 - _vss(pe_sorted, mq - 1, "right")).astype(jnp.int32)
+        u_h = c_cov - d_cov
+
+        score = jnp.where(ismode, u_h, -1)
+        mode_bins, mode_oks, mode_filts = [], [], []
+        for _s in range(Mc):
+            best, bpos = per_rank_best(score, d_s, score >= 0)
+            mode_bins.append(bpos[:, :SD])
+            mode_oks.append(best[:, :SD] > 0)
+            mode_filts.append(best[:, :SD])
+            chosen = (score >= 0) & (score == best[bidx, r_s]) \
+                & (d_s == bpos[bidx, r_s])
+            score = jnp.where(chosen, -1, score)
+        mode_bin = jnp.stack(mode_bins, axis=-1)
+        mode_ok = jnp.stack(mode_oks, axis=-1)
+        filt = jnp.stack(mode_filts, axis=-1)
+
+    # optional time range per (candidate, mode slot): quantiles of aligned
+    # query times via one sort per slot (no (B, SD, qt_cap) scatter)
+    if mcfg.find_time_range:
+        min_ts, max_ts = [], []
+        qspan = mcfg.qt_cap + 1
+        ranks_sd = jnp.broadcast_to(
+            jnp.arange(SD, dtype=jnp.int32)[None, :], (B, SD))
+        for s in range(Mc):
+            mb_s = mode_bin[:, :, s]
+            aligned = (v_f & (rank_f < SD)
+                       & (jnp.abs(dtbin_f - mb_s[
+                           bidx, jnp.minimum(rank_f, SD - 1)]) <= W))
+            qkey = jnp.where(
+                aligned, rank_f * qspan + jnp.clip(qt_f, 0, mcfg.qt_cap - 1),
+                (SD + 1) * qspan)
+            qk_sorted = jax.lax.sort(qkey)
+            lo = _vss(qk_sorted, ranks_sd * qspan, "left")
+            hi = _vss(qk_sorted, ranks_sd * qspan + qspan - 1, "right")
+            nq = (hi - lo).astype(jnp.int32)
+            k0 = (mcfg.time_quantile
+                  * nq.astype(jnp.float32)).astype(jnp.int32)
+            k1 = jnp.maximum(
+                0, ((1.0 - mcfg.time_quantile) * nq.astype(jnp.float32))
+                .astype(jnp.int32) - 1)
+            gmin = jnp.take_along_axis(
+                qk_sorted, jnp.minimum(lo + k0, H - 1), axis=1)
+            gmax = jnp.take_along_axis(
+                qk_sorted, jnp.minimum(lo + k1, H - 1), axis=1)
+            min_ts.append(jnp.where(nq > 0, gmin - ranks_sd * qspan,
+                                    0).astype(jnp.int32))
+            max_ts.append(jnp.where(nq > 0, gmax - ranks_sd * qspan,
+                                    0).astype(jnp.int32))
+        min_t = jnp.stack(min_ts, axis=-1)
+        max_t = jnp.stack(max_ts, axis=-1)
+    else:
+        min_t = jnp.zeros((B, SD, Mc), jnp.int32)
+        max_t = jnp.zeros((B, SD, Mc), jnp.int32)
+
+    return _rank_rows(cand_ids, cand_raw, cand_valid, mode_bin, mode_ok,
+                      filt, min_t, max_t, mcfg)
+
+
 @functools.partial(jax.jit, static_argnames=("tcfg", "mcfg"))
-def match_batch(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
-                qtimes: jax.Array, qhashes: jax.Array, qvalid: jax.Array,
-                tcfg: DT.TableConfig, mcfg: MatchConfig):
-    """Single-device matching over the full table (see match_core)."""
+def match_batch_sorted(table: jax.Array, counts: jax.Array,
+                       hashesperid: jax.Array, qtimes: jax.Array,
+                       qhashes: jax.Array, qvalid: jax.Array,
+                       tcfg: DT.TableConfig, mcfg: MatchConfig):
+    """Single-device matching via the sort/searchsorted core — O(B*H)
+    memory independent of maxtime and query length.  Bit-identical to
+    match_batch_hist; measured ~1.5-2x slower at ordinary shapes on v5e,
+    so the Matcher dispatches here only when the hist buffers would not
+    fit the memory budget (very long queries x large batches)."""
+    return match_core_sorted(table, counts, hashesperid, qtimes, qhashes,
+                             qvalid, tcfg, mcfg)
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg", "mcfg"))
+def match_batch_hist(table: jax.Array, counts: jax.Array,
+                     hashesperid: jax.Array, qtimes: jax.Array,
+                     qhashes: jax.Array, qvalid: jax.Array,
+                     tcfg: DT.TableConfig, mcfg: MatchConfig):
+    """Single-device matching via the histogram core (same computation the
+    shard_map path runs; the fast path at ordinary shapes)."""
     return match_core(table, counts, hashesperid, qtimes, qhashes, qvalid,
                       tcfg, mcfg)
+
+
+# default single-device entry: the hist core (fastest at ordinary shapes);
+# the Matcher dispatches to match_batch_sorted past the memory envelope
+match_batch = match_batch_hist

@@ -191,11 +191,56 @@ def test_memory_budget_splits_batch_identically(capsys):
     m = Matcher(threshcount=5, search_depth=8)
     want = m.match_hashes_batch(ht, queries)
     m2 = Matcher(threshcount=5, search_depth=8)
-    m2.mem_budget_bytes = 1   # force sub-batch size 1
+    m2.mem_budget_bytes = 1   # force the sorted core + sub-batch size 1
     got = m2.match_hashes_batch(ht, queries)
     out = capsys.readouterr().out
+    assert "sorted voting core" in out
     assert "splitting 6 queries into sub-batches of 1" in out
     assert len(got) == len(want) == 6
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
         assert w.shape[0] == 1
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_sorted_core_equals_hist_core(seed):
+    """voting.match_batch (sort/searchsorted core) must be bit-identical to
+    the histogram core (the shard_map path) on random duplicate-heavy data,
+    across all option combinations."""
+    rng = np.random.default_rng(100 + seed)
+    ht = HashTable(hashbits=TCFG.hashbits, depth=TCFG.depth,
+                   maxtime=TCFG.maxtime, seed=TCFG.seed)
+    for i in range(5):
+        pairs = np.stack([rng.integers(0, 200, 80),
+                          rng.integers(0, 64, 80)], axis=1)
+        ht.store_vectorized(f"t{i}", pairs.astype(np.int64))
+    table = jnp.asarray(ht.table)
+    counts = jnp.asarray(ht.counts)
+    hpi = np.zeros(16, np.int32)
+    hpi[:5] = ht.hashesperid
+    Q = 128
+    q = np.unique(np.stack([rng.integers(0, 150, 90),
+                            rng.integers(0, 64, 90)], axis=1), axis=0)
+    qt = np.zeros((2, Q), np.int32)
+    qh = np.zeros((2, Q), np.int32)
+    qv = np.zeros((2, Q), bool)
+    qt[0, :len(q)], qh[0, :len(q)], qv[0, :len(q)] = q[:, 0], q[:, 1], True
+    qt[1, :40], qh[1, :40], qv[1, :40] = q[:40, 0] + 5, q[:40, 1], True
+    for exact in (False, True):
+        for timerange in (False, True):
+            for sbt in (False, True):
+                mcfg = voting.MatchConfig(
+                    search_depth=8, max_returns=4, threshcount=1,
+                    exact_count=exact, find_time_range=timerange,
+                    sort_by_time=sbt, qt_cap=256, n_ids_cap=16)
+                a = voting.match_batch_sorted(
+                    table, counts, jnp.asarray(hpi), jnp.asarray(qt),
+                    jnp.asarray(qh), jnp.asarray(qv), TCFG, mcfg)
+                b = voting.match_batch_hist(table, counts, jnp.asarray(hpi),
+                                            jnp.asarray(qt), jnp.asarray(qh),
+                                            jnp.asarray(qv), TCFG, mcfg)
+                for k in a:
+                    np.testing.assert_array_equal(
+                        np.asarray(a[k]), np.asarray(b[k]),
+                        err_msg=f"{k} exact={exact} tr={timerange} "
+                                f"sbt={sbt} seed={seed}")
