@@ -31,6 +31,14 @@ def pack_hashes(f1: jax.Array, f2: jax.Array, dt: jax.Array) -> jax.Array:
 def slots_to_hashes(bins: jax.Array, valid: jax.Array, cfg: PipelineConfig):
     """Per-frame peak slots -> per-anchor landmark hashes.
 
+    lax.scan over the (targetdt - mindt) dt offsets with a small carry
+    (per-anchor fill count + fanout partner slots): each step examines the
+    K partner slots of frame t+dt in bin-ascending order and appends the
+    qualifying ones — exactly the reference's (dt asc, partner-bin asc)
+    scan order.  Replaces the dense (B, T, K, ndt, K) candidate tensor of
+    slots_to_hashes_dense (~1 GB of HBM traffic at B=128): the carry is
+    ~(B, T, K, fanout) and each step touches O(B*T*K) elements.
+
     Args:
       bins:  (B, T, K) int32 peak bins, ascending per frame
       valid: (B, T, K) bool
@@ -39,6 +47,50 @@ def slots_to_hashes(bins: jax.Array, valid: jax.Array, cfg: PipelineConfig):
       times:  (B, T, K, fanout) int32 anchor frame index
       hashes: (B, T, K, fanout) int32 packed 20-bit hashes
       lvalid: (B, T, K, fanout) bool
+    """
+    B, T, K = bins.shape
+    fanout = cfg.maxpairsperpeak
+    pad = jnp.zeros((B, cfg.targetdt, K), bins.dtype)
+    vpad = jnp.zeros((B, cfg.targetdt, K), bool)
+    bins_p = jnp.concatenate([bins, pad], axis=1)     # (B, T+targetdt, K)
+    valid_p = jnp.concatenate([valid, vpad], axis=1)
+    foid = jnp.arange(fanout, dtype=jnp.int32)
+
+    def step(carry, d):
+        count, f2s, dts = carry
+        pbin = jax.lax.dynamic_slice_in_dim(bins_p, d, T, axis=1)
+        pval = jax.lax.dynamic_slice_in_dim(valid_p, d, T, axis=1)
+        for j in range(K):                 # partner slots, bin ascending
+            f2j = pbin[:, :, j][:, :, None]            # (B, T, 1)
+            okj = (valid & pval[:, :, j][:, :, None]
+                   & (jnp.abs(f2j - bins) < cfg.targetdf)
+                   & (count < fanout))                 # (B, T, K)
+            write = okj[..., None] & (count[..., None] == foid)
+            f2s = jnp.where(write, f2j[..., None], f2s)
+            dts = jnp.where(write, d, dts)
+            count = count + okj.astype(jnp.int32)
+        return (count, f2s, dts), None
+
+    count0 = jnp.zeros((B, T, K), jnp.int32)
+    f2s0 = jnp.zeros((B, T, K, fanout), jnp.int32)
+    dts0 = jnp.zeros((B, T, K, fanout), jnp.int32)
+    (count, f2s, dts), _ = jax.lax.scan(
+        step, (count0, f2s0, dts0),
+        jnp.arange(cfg.mindt, cfg.targetdt, dtype=jnp.int32))
+    lvalid = foid[None, None, None, :] < count[..., None]
+    hashes = pack_hashes(bins[:, :, :, None], f2s, dts)
+    times = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[None, :, None, None], hashes.shape)
+    return times, jnp.where(lvalid, hashes, 0), lvalid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def slots_to_hashes_dense(bins: jax.Array, valid: jax.Array,
+                          cfg: PipelineConfig):
+    """Dense one-shot formulation (the round-1 path), kept for equivalence
+    testing: materializes every (anchor, dt, partner) candidate at once.
+
+    Args/returns: as slots_to_hashes.
     """
     B, T, K = bins.shape
     fanout = cfg.maxpairsperpeak

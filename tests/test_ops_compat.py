@@ -133,3 +133,24 @@ def test_shifts_expand(audio_5s):
     # more shifts -> at least as many unique hashes as single shift
     got1 = JPipe.fingerprint_numpy(audio_5s[None], [len(audio_5s)], CFG)[0]
     assert len(got) >= len(got1)
+
+
+def test_slots_to_hashes_scan_equals_dense(rng):
+    """The scan-over-dt pairing must be bit-identical to the dense
+    formulation (and hence the oracle) on random slot patterns."""
+    import jax.numpy as jnp
+    from audfprint_tpu.ops import landmarks as L
+    from audfprint_tpu.ops.config import PipelineConfig
+    cfg = PipelineConfig()
+    B, T, K = 3, 200, cfg.maxpksperframe
+    # random ascending-bin slots with random validity
+    bins = np.sort(rng.integers(0, 256, (B, T, K)), axis=-1).astype(np.int32)
+    valid = rng.random((B, T, K)) < 0.4
+    # enforce "valid slots first" like mask_to_slots produces
+    order = np.argsort(~valid, axis=-1, kind="stable")
+    bins = np.take_along_axis(bins, order, axis=-1)
+    valid = np.take_along_axis(valid, order, axis=-1)
+    a = L.slots_to_hashes(jnp.asarray(bins), jnp.asarray(valid), cfg)
+    b = L.slots_to_hashes_dense(jnp.asarray(bins), jnp.asarray(valid), cfg)
+    for x, y, name in zip(a, b, ("times", "hashes", "lvalid")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), name)
