@@ -59,8 +59,11 @@ class Analyzer:
         # rows per device dispatch: bounds HBM for huge ingest lists and
         # keeps batch shapes on the small set of already-compiled graphs
         # (an uncapped 1000-row batch forces a one-off multi-minute compile
-        # and a ~1.4 GB transfer; 128 matches the benchmark steady state)
-        self.max_batch_rows = 128
+        # and a ~1.4 GB transfer).  The peak-prune scan is latency-bound on
+        # its serial time chain, so wider batches are nearly free: measured
+        # 65k/73k/75k audio-sec/s at 128/256/512 rows — 256 takes most of
+        # the win at half the staging memory of 512.
+        self.max_batch_rows = 256
 
     # -- config ---------------------------------------------------------
 
@@ -177,8 +180,16 @@ class Analyzer:
         for blen, g_idxs in groups.items():
             for i0 in range(0, len(g_idxs), rows_cap):
                 idxs = g_idxs[i0: i0 + rows_cap]
-                batch = np.zeros((len(idxs), blen), np.float32)
-                lens = np.zeros(len(idxs), np.int32)
+                # pad the row count to the next power of two (<= rows_cap):
+                # zero rows are nearly free to compute, while each distinct
+                # (rows, blen) shape is a fresh multi-minute XLA compile on
+                # this target — this keeps the shape set O(log rows_cap)
+                nrows = 1
+                while nrows < len(idxs):
+                    nrows *= 2
+                nrows = min(nrows, rows_cap)
+                batch = np.zeros((nrows, blen), np.float32)
+                lens = np.zeros(nrows, np.int32)
                 for row, i in enumerate(idxs):
                     batch[row, : len(signals[i])] = signals[i]
                     lens[row] = len(signals[i])

@@ -108,13 +108,28 @@ def fingerprint_batch(audio: jax.Array, lengths: jax.Array,
     flat_t = times.reshape(B, -1)
     flat_h = hashes.reshape(B, -1)
     flat_v = lvalid.reshape(B, -1)
-    flat_t = jnp.where(flat_v, flat_t, T_SENTINEL)
-    flat_h = jnp.where(flat_v, flat_h, T_SENTINEL)
-    t_s, h_s = jax.lax.sort((flat_t, flat_h), dimension=1, num_keys=2)
-    valid_s = t_s != T_SENTINEL
-    neq = jnp.concatenate(
-        [jnp.ones((B, 1), bool),
-         (t_s[:, 1:] != t_s[:, :-1]) | (h_s[:, 1:] != h_s[:, :-1])], axis=1)
+    if T <= 2047:
+        # single-key sort: t fits 11 bits above the 20-bit hash, so the
+        # packed int32 (t << 20 | hash) sorts in (t, hash) lex order and
+        # stays below the T_SENTINEL (2^31-1).  ~2x cheaper than the
+        # two-key comparator on TPU.
+        packed = jnp.where(
+            flat_v, (flat_t << 20) | flat_h, T_SENTINEL)
+        p_s = jax.lax.sort(packed, dimension=1)
+        valid_s = p_s != T_SENTINEL
+        t_s = jnp.where(valid_s, p_s >> 20, T_SENTINEL)
+        h_s = jnp.where(valid_s, p_s & 0xFFFFF, T_SENTINEL)
+        neq = jnp.concatenate(
+            [jnp.ones((B, 1), bool), p_s[:, 1:] != p_s[:, :-1]], axis=1)
+    else:
+        flat_t = jnp.where(flat_v, flat_t, T_SENTINEL)
+        flat_h = jnp.where(flat_v, flat_h, T_SENTINEL)
+        t_s, h_s = jax.lax.sort((flat_t, flat_h), dimension=1, num_keys=2)
+        valid_s = t_s != T_SENTINEL
+        neq = jnp.concatenate(
+            [jnp.ones((B, 1), bool),
+             (t_s[:, 1:] != t_s[:, :-1]) | (h_s[:, 1:] != h_s[:, :-1])],
+            axis=1)
     uniq = valid_s & neq
     counts = jnp.sum(uniq, axis=1, dtype=jnp.int32)
     return t_s, h_s, uniq, counts

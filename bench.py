@@ -49,7 +49,7 @@ def synth_batch(B: int, n: int, sr: int = 11025,
     return out
 
 
-def measure_device(B: int = 128, dur_sec: float = 20.0, iters: int = 5):
+def measure_device(B: int = 256, dur_sec: float = 20.0, iters: int = 5):
     import jax.numpy as jnp
 
     import audfprint_tpu.utils.jaxconfig as jc
