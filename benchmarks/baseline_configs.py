@@ -190,8 +190,11 @@ def config5(scale):
             queries = (tt.copy(), hh.copy())
     np.asarray(counts)  # sync
     build_s = time.time() - t0
-    # streaming batched queries: sample 100 hashes per track from batch 0
-    QB, Q = 32, 128
+    # streaming batched queries: sample hashes per track from batch 0.
+    # QB=128 amortizes the fixed per-dispatch cost (~30 ms through the
+    # relay); the voting buffers at (128, SD+1, maxtime+qt_cap) int32
+    # stay ~0.9 GB — well inside one v5e chip.
+    QB, Q = 128, 128
     qt = np.maximum(0, queries[0][:QB, :Q] - 3)
     qh = queries[1][:QB, :Q]
     qv = np.ones((QB, Q), bool)
