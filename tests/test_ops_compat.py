@@ -154,3 +154,16 @@ def test_slots_to_hashes_scan_equals_dense(rng):
     b = L.slots_to_hashes_dense(jnp.asarray(bins), jnp.asarray(valid), cfg)
     for x, y, name in zip(a, b, ("times", "hashes", "lvalid")):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), name)
+
+
+def test_sort_dedup_packed_equals_twokey(audio_5s):
+    """The packed single-key sort (T <= 2047) and the two-key sort must
+    produce identical rows.  The branch is chosen by the STATIC padded
+    frame count, so the same 5 s of audio in a 2^20-sample buffer
+    (T = 4095 -> two-key) must reproduce the small-buffer (packed) rows."""
+    small = JPipe.fingerprint_numpy(
+        audio_5s[None], [len(audio_5s)], CFG)[0]
+    big = np.zeros((1, 1 << 20), np.float32)
+    big[0, : len(audio_5s)] = audio_5s
+    padded = JPipe.fingerprint_numpy(big, [len(audio_5s)], CFG)[0]
+    np.testing.assert_array_equal(small, padded)
