@@ -107,9 +107,12 @@ class Matcher:
         table, counts, hpi, tcfg, ncap = self._device_state(ht)
         B = len(hash_lists)
         maxn = max([1] + [len(h) for h in hash_lists])
-        # generous floors so typical query sizes share ONE compiled graph
-        # (TPU compiles are the expensive resource, padding is cheap)
-        Q = _next_pow2(maxn, 512)
+        # pow2 padding so typical query sizes share few compiled graphs
+        # (TPU compiles are the expensive resource).  The floor is 128, not
+        # 512: scatter updates (B x Q x depth) scale the device-side voting
+        # cost, and a typical 5 s query (~125 hashes) at Q=512 would issue
+        # 4x the updates it needs.
+        Q = _next_pow2(maxn, 128)
         maxt = max([1] + [int(h[:, 0].max()) + 1 for h in hash_lists
                           if len(h)])
         qt_cap = _next_pow2(maxt, 2048)

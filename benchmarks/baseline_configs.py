@@ -91,8 +91,12 @@ def config2(scale):
         truths.append(i)
     qh = an.samples_batch2hashes(queries)
     m = Matcher()
-    t0 = time.time()
+    # warm call: compile + one-time device table upload; the timed call
+    # uses shifted query times so the relay cannot memoize the execution
     results = m.match_hashes_batch(ht, qh)
+    qh2 = [np.stack([h[:, 0] + 1, h[:, 1]], axis=1) for h in qh]
+    t0 = time.time()
+    m.match_hashes_batch(ht, qh2)
     dt = time.time() - t0
     prec, rec = _pr(results, truths)
     return {"config": 2, "tracks": n, "precision": round(prec, 3),
