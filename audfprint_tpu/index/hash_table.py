@@ -40,6 +40,7 @@ from audfprint_tpu.utils import prng
 
 HT_VERSION = 20260816
 HT_COMPAT_VERSION = 20260816
+AFDB_MAGIC = b"AFDB0001"   # mmap-able uncompressed snapshot (serving)
 # Upstream audfprint version stamps (hash_table.py:~20): HT_VERSION is the
 # date of the current on-disk layout; tables older than the OLD_COMPAT floor
 # predate maxtimebits and are refused upstream too.
@@ -379,10 +380,87 @@ class HashTable:
                     f"analyzer param mismatch: {key}: "
                     f"{self.params[key]} vs {other_params[key]}")
 
+    # -- .afdb: mmap-able uncompressed snapshot (serving format) -----------
+
+    def _save_afdb(self, name: str) -> None:
+        """Write the `.afdb` layout: magic, JSON header, then 64-byte-
+        aligned raw little-endian `counts` (int32) and `table` (uint32)
+        sections.  Loads open the table as a copy-on-write memmap, so a
+        multi-hundred-MB database is usable in milliseconds (the .pklz
+        gunzip-unpickle of the same table takes seconds) — at the cost of
+        no compression.  Additive format; .pklz stays the default and the
+        reference-interchange format."""
+        import json
+
+        header = {
+            "ht_version": self.ht_version,
+            "hashbits": self.hashbits,
+            "depth": self.depth,
+            "maxtime": self.maxtime,
+            "seed": self.seed,
+            "names": self.names,
+            "hashesperid": [int(x) for x in self.hashesperid],
+            "params": self.params,
+        }
+        hb = json.dumps(header).encode()
+        with open(name, "wb") as f:
+            f.write(AFDB_MAGIC)
+            f.write(np.uint64(len(hb)).tobytes())
+            f.write(hb)
+            f.write(b"\0" * (-f.tell() % 64))
+            np.ascontiguousarray(self.counts, np.int32).tofile(f)
+            f.write(b"\0" * (-f.tell() % 64))
+            np.ascontiguousarray(self.table, np.uint32).tofile(f)
+
+    @staticmethod
+    def _afdb_offsets(hlen: int, nbuckets: int):
+        off = 16 + hlen
+        off_counts = off + (-off % 64)
+        off2 = off_counts + 4 * nbuckets
+        off_table = off2 + (-off2 % 64)
+        return off_counts, off_table
+
+    def _load_afdb(self, name: str) -> dict:
+        import json
+
+        with open(name, "rb") as f:
+            assert f.read(8) == AFDB_MAGIC
+            hlen = int(np.frombuffer(f.read(8), np.uint64)[0])
+            header = json.loads(f.read(hlen).decode())
+        nb = 1 << header["hashbits"]
+        off_counts, off_table = self._afdb_offsets(hlen, nb)
+        # mode="c" (copy-on-write): reads are lazy page-ins straight from
+        # the file; mutations (store/merge/remove) dirty private pages
+        counts = np.memmap(name, np.int32, mode="c",
+                           offset=off_counts, shape=(nb,))
+        table = np.memmap(name, np.uint32, mode="c",
+                          offset=off_table,
+                          shape=(nb, header["depth"]))
+        return {
+            "ht_version": header["ht_version"],
+            "hashbits": header["hashbits"],
+            "depth": header["depth"],
+            "maxtime": header["maxtime"],
+            "seed": header.get("seed", 0),
+            "table": table,
+            "counts": counts,
+            "names": header["names"],
+            "hashesperid": np.asarray(header["hashesperid"], np.int64),
+            "params": header.get("params", {}),
+        }
+
     def save(self, name: str, params: dict | None = None,
              file_object=None) -> None:
         if params:
             self.params.update(params)
+        if file_object is None and name.endswith(".afdb"):
+            self._save_afdb(name)
+            self.dirty = False
+            nhashes = self.totalhashes()
+            nfiles = sum(1 for n in self.names if n is not None)
+            print(f"Saved fprints for {nfiles} files "
+                  f"({nhashes} hashes) to {name}")
+            return
         state = {
             "ht_version": self.ht_version,
             "hashbits": self.hashbits,
@@ -437,13 +515,19 @@ class HashTable:
         print(f"Saved fprints for {nfiles} files ({nhashes} hashes) to {name}")
 
     def load(self, name: str) -> None:
-        with gzip.open(name, "rb") as f:
-            state = _UpstreamUnpickler(f).load()
-        if isinstance(state, _UpstreamStub):
-            state = _state_from_upstream(state)
-        elif not isinstance(state, dict):
-            raise ValueError(
-                f"unrecognized hash table pickle ({type(state).__name__})")
+        # format sniff by magic bytes, not extension
+        with open(name, "rb") as fraw:
+            magic = fraw.read(8)
+        if magic == AFDB_MAGIC:
+            state = self._load_afdb(name)
+        else:
+            with gzip.open(name, "rb") as f:
+                state = _UpstreamUnpickler(f).load()
+            if isinstance(state, _UpstreamStub):
+                state = _state_from_upstream(state)
+            elif not isinstance(state, dict):
+                raise ValueError(
+                    f"unrecognized hash table pickle ({type(state).__name__})")
         if state["ht_version"] < HT_COMPAT_VERSION:
             raise ValueError(
                 f"incompatible hash table version {state['ht_version']}")
