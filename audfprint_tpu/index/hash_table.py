@@ -28,6 +28,7 @@ global resolves to a stub), and `save_upstream()` writes a class-instance
 
 from __future__ import annotations
 
+import contextlib
 import gzip
 import pickle
 import sys
@@ -69,24 +70,36 @@ class _UpstreamUnpickler(pickle.Unpickler):
         return super().find_class(module, name)
 
 
-def _upstream_module():
-    """A synthetic `hash_table` module so pickling an upstream-shaped
-    instance emits the GLOBAL (`hash_table`, `HashTable`) upstream expects.
-    Only registered if no real module already owns the name."""
+@contextlib.contextmanager
+def _upstream_pickle_class():
+    """Yield a class that pickles as the GLOBAL (`hash_table`, `HashTable`)
+    upstream expects.  If the real upstream module is already importable we
+    use its class directly (instances are built via `__new__`, so its ~400 MB
+    default-table `__init__` never runs); otherwise a synthetic stub module
+    is registered in sys.modules ONLY for the duration of the pickle, so a
+    later genuine `import hash_table` is never shadowed."""
     mod = sys.modules.get("hash_table")
     if mod is not None and getattr(getattr(mod, "HashTable", None),
                                    "__module__", None) == "hash_table":
-        return mod
-    mod = types.ModuleType("hash_table")
+        yield mod.HashTable
+        return
+    stub = types.ModuleType("hash_table")
 
     class HashTable:   # noqa: N801 - must match upstream's class name
         pass
 
     HashTable.__module__ = "hash_table"
     HashTable.__qualname__ = "HashTable"
-    mod.HashTable = HashTable
-    sys.modules["hash_table"] = mod
-    return mod
+    stub.HashTable = HashTable
+    prev = sys.modules.get("hash_table")
+    sys.modules["hash_table"] = stub
+    try:
+        yield HashTable
+    finally:
+        if prev is None:
+            sys.modules.pop("hash_table", None)
+        else:
+            sys.modules["hash_table"] = prev
 
 
 def _state_from_upstream(obj: "_UpstreamStub") -> dict:
@@ -493,22 +506,22 @@ class HashTable:
         layout (hash_table.py:~250-330), loadable by the reference tool."""
         if params:
             self.params.update(params)
-        cls = _upstream_module().HashTable
-        obj = cls()
-        obj.ht_version = UPSTREAM_HT_VERSION
-        obj.hashbits = self.hashbits
-        obj.depth = self.depth
-        obj.maxtimebits = self.maxtimebits
-        obj.table = self.table
-        obj.counts = self.counts
-        obj.names = list(self.names)
-        obj.hashesperid = np.asarray(
-            np.minimum(self.hashesperid, 2**32 - 1), dtype=np.uint32)
-        obj.params = {k: v for k, v in self.params.items()
-                      if k != "loaded_from_upstream_version"}
-        obj.dirty = False
-        with gzip.open(name, "wb", compresslevel=4) as f:
-            pickle.dump(obj, f, protocol=2)   # upstream is py2/py3 pickle
+        with _upstream_pickle_class() as cls:
+            obj = object.__new__(cls)
+            obj.ht_version = UPSTREAM_HT_VERSION
+            obj.hashbits = self.hashbits
+            obj.depth = self.depth
+            obj.maxtimebits = self.maxtimebits
+            obj.table = self.table
+            obj.counts = self.counts
+            obj.names = list(self.names)
+            obj.hashesperid = np.asarray(
+                np.minimum(self.hashesperid, 2**32 - 1), dtype=np.uint32)
+            obj.params = {k: v for k, v in self.params.items()
+                          if k != "loaded_from_upstream_version"}
+            obj.dirty = False
+            with gzip.open(name, "wb", compresslevel=4) as f:
+                pickle.dump(obj, f, protocol=2)   # upstream py2/py3 pickle
         self.dirty = False
         nhashes = self.totalhashes()
         nfiles = sum(1 for n in self.names if n is not None)

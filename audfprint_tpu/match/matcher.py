@@ -117,13 +117,14 @@ class Matcher:
                           if len(h)])
         qt_cap = _next_pow2(maxt, 2048)
         # voting-memory envelope: the hist core's bin-domain buffers grow
-        # with query length; when they would blow the budget, dispatch to
-        # the sort-based core (O(B*H) memory, maxtime-independent) and only
-        # split the batch if even that estimate exceeds the budget (a
-        # single query always runs, at sub-batch size 1)
+        # with query length.  Oversized batches are handled by SPLITTING
+        # over the fast hist core; the measured-slower sort-based core
+        # (O(B*H) memory, maxtime-independent) is dispatched only when even
+        # a single row's hist buffers would blow the budget (very long
+        # queries / deep searches, where the buffers cannot exist at all)
         per_row = self._voting_bytes_per_row(tcfg, qt_cap)
         core = "hist"
-        if B * per_row > self.mem_budget_bytes:
+        if per_row > self.mem_budget_bytes:
             core = "sorted"
             per_row = self._sorted_bytes_per_row(tcfg, Q)
         bsub = min(B, max(1, self.mem_budget_bytes // max(1, per_row)))
@@ -322,13 +323,14 @@ class Matcher:
             amp = 0.5 if (tq, hsh) in matched else 0.12
             s0 = t * t_hop
             n = max(1, int(dt * t_hop))
-            if s0 + n > len(out):
+            m = min(n, len(out) - s0)   # clip chirps at the buffer end
+            if m <= 0:
                 continue
             tt = np.arange(n) / sr
             env = np.hanning(n) if n > 1 else np.ones(1)
             seg = 0.5 * np.sin(2 * np.pi * f1 * bin_hz * tt)
             seg += 0.5 * np.sin(2 * np.pi * f2 * bin_hz * tt)
-            out[s0: s0 + n] += (amp * env * seg).astype(np.float32)
+            out[s0: s0 + m] += (amp * env * seg)[:m].astype(np.float32)
         peak = float(np.abs(out).max())
         if peak > 0:
             out = out / peak * 0.7

@@ -19,8 +19,10 @@ Bit-compat contract vs audfprint_tpu.oracle.match.match_hashes:
     ROW PER MODE, counted as #distinct query rows with an aligned hit
     (rows are pre-deduped, so distinct row == distinct (qtime, hash) —
     _unique_match_hashes).  modes_cap bounds modes per candidate with
-    static shape, but selection is BY the exact count, so returned rows
-    are provably oracle-identical whenever modes_cap >= max_returns
+    static shape, but selection is BY the final ranking's own order —
+    exact count desc normally, earliest mode time under --sortbytime —
+    so returned rows are provably oracle-identical whenever
+    modes_cap >= max_returns
   * time range: integer-index quantiles over the aligned-hit qtime multiset
 
 The core is written against *combiner* callables so the identical code runs
@@ -69,7 +71,11 @@ class MatchConfig(NamedTuple):
                    find_time_range=mp.find_time_range,
                    time_quantile=mp.time_quantile,
                    sort_by_time=mp.sort_by_time,
-                   qt_cap=qt_cap, n_ids_cap=n_ids_cap)
+                   qt_cap=qt_cap, n_ids_cap=n_ids_cap,
+                   # oracle parity requires modes_cap >= max_returns
+                   # (see match_core); derive it so no caller can silently
+                   # under-cap exact-count multi-mode results
+                   modes_cap=max(4, mp.max_returns))
 
 
 def _select_candidates(id_f, v_f, bidx, hashesperid, mcfg: MatchConfig,
@@ -196,16 +202,37 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
         uext = jnp.cumsum(sum_all(diff[:, :SD]), axis=-1)
         ucov = uext[..., W: W + nbins]                  # (B, SD, nbins)
 
-        mscore = jnp.where(ismode, ucov, -1)
         mode_bins, mode_oks, mode_filts = [], [], []
-        for _s in range(Mc):
-            mb = jnp.argmax(mscore, axis=-1).astype(jnp.int32)  # ties->low bin
-            mv = jnp.take_along_axis(mscore, mb[..., None], axis=-1)[..., 0]
-            mode_bins.append(mb)
-            mode_oks.append(mv > 0)
-            mode_filts.append(mv)
-            mscore = jnp.where(binid[None, None, :] == mb[..., None],
-                               -1, mscore)
+        if mcfg.sort_by_time:
+            # Time-sorted output truncates to the EARLIEST rows, so parity
+            # for modes_cap >= max_returns needs the Mc earliest modes that
+            # pass the keep filter (U >= threshcount) — count-desc selection
+            # would drop an early low-count mode the oracle returns.
+            selectable = ismode & (ucov >= mcfg.threshcount)
+            sbin = jnp.where(selectable, binid[None, None, :], _I32MAX)
+            for _s in range(Mc):
+                mb = jnp.argmin(sbin, axis=-1).astype(jnp.int32)
+                ok = jnp.take_along_axis(
+                    sbin, mb[..., None], axis=-1)[..., 0] < _I32MAX
+                mv = jnp.take_along_axis(
+                    ucov, mb[..., None], axis=-1)[..., 0]
+                mode_bins.append(mb)
+                mode_oks.append(ok)
+                mode_filts.append(jnp.where(ok, mv, -1))
+                sbin = jnp.where(binid[None, None, :] == mb[..., None],
+                                 _I32MAX, sbin)
+        else:
+            mscore = jnp.where(ismode, ucov, -1)
+            for _s in range(Mc):
+                mb = jnp.argmax(mscore, axis=-1).astype(
+                    jnp.int32)                            # ties->low bin
+                mv = jnp.take_along_axis(
+                    mscore, mb[..., None], axis=-1)[..., 0]
+                mode_bins.append(mb)
+                mode_oks.append(mv > 0)
+                mode_filts.append(mv)
+                mscore = jnp.where(binid[None, None, :] == mb[..., None],
+                                   -1, mscore)
         mode_bin = jnp.stack(mode_bins, axis=-1)          # (B, SD, Mc)
         mode_ok = jnp.stack(mode_oks, axis=-1)
         filt_exact = jnp.stack(mode_filts, axis=-1)
@@ -360,7 +387,10 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     W = mcfg.window
     Mc = max(1, mcfg.modes_cap) if mcfg.exact_count else 1
     nbins = tcfg.maxtime + mcfg.qt_cap
-    assert (SD + 1) * nbins < 2**31, "rank/bin key exceeds int32"
+    # widest combined keys: pair intervals use span = nbins + 2W + 2 and
+    # qtime keys use qspan = qt_cap + 1 <= span, both scaled by rank <= SD+1
+    assert (SD + 1) * (nbins + 2 * W + 2) < 2**31, \
+        "rank/bin key exceeds int32 (reduce search_depth or query length)"
 
     ids3, dts3, hv3 = DT.get_hits_local(
         table, counts, qtimes, qhashes, qvalid, tcfg, 0)
@@ -471,16 +501,30 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
                  - _vss(pe_sorted, mq - 1, "right")).astype(jnp.int32)
         u_h = c_cov - d_cov
 
-        score = jnp.where(ismode, u_h, -1)
         mode_bins, mode_oks, mode_filts = [], [], []
-        for _s in range(Mc):
-            best, bpos = per_rank_best(score, d_s, score >= 0)
-            mode_bins.append(bpos[:, :SD])
-            mode_oks.append(best[:, :SD] > 0)
-            mode_filts.append(best[:, :SD])
-            chosen = (score >= 0) & (score == best[bidx, r_s]) \
-                & (d_s == bpos[bidx, r_s])
-            score = jnp.where(chosen, -1, score)
+        if mcfg.sort_by_time:
+            # earliest valid modes, mirroring match_core (see comment there)
+            avail = ismode & (u_h >= mcfg.threshcount)
+            for _s in range(Mc):
+                tscore = jnp.where(avail, nbins - 1 - d_s, -1)
+                best, bpos = per_rank_best(tscore, d_s, avail)
+                chosen = avail & (d_s == bpos[bidx, r_s])
+                uval = jnp.full((B, SD + 1), -1, jnp.int32).at[
+                    bidx, r_s].max(jnp.where(chosen, u_h, -1))
+                mode_bins.append(bpos[:, :SD])
+                mode_oks.append(best[:, :SD] >= 0)
+                mode_filts.append(uval[:, :SD])
+                avail = avail & ~chosen
+        else:
+            score = jnp.where(ismode, u_h, -1)
+            for _s in range(Mc):
+                best, bpos = per_rank_best(score, d_s, score >= 0)
+                mode_bins.append(bpos[:, :SD])
+                mode_oks.append(best[:, :SD] > 0)
+                mode_filts.append(best[:, :SD])
+                chosen = (score >= 0) & (score == best[bidx, r_s]) \
+                    & (d_s == bpos[bidx, r_s])
+                score = jnp.where(chosen, -1, score)
         mode_bin = jnp.stack(mode_bins, axis=-1)
         mode_ok = jnp.stack(mode_oks, axis=-1)
         filt = jnp.stack(mode_filts, axis=-1)

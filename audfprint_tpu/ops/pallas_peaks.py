@@ -216,7 +216,7 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
     # gather_bump): g2[i] = gauss(i - F) for i in [0, 2F), from the SAME
     # full-support table the oracle uses (g2[0] = gauss(-F) is never
     # addressed: j - pos >= -(F-1))
-    gvec = P.gaussian_template(cfg.f_sd).astype(np.float32)
+    gvec = P.gaussian_template(cfg.f_sd, cfg.gsize).astype(np.float32)
     dd = np.arange(2 * F) - F                  # offsets -F .. F-1
     g2 = np.where(np.abs(dd) <= cfg.gsize,
                   gvec[np.clip(dd + cfg.gsize, 0, 2 * cfg.gsize)],

@@ -36,7 +36,7 @@ _NEG = -jnp.inf
 def _gauss_table(cfg: PipelineConfig) -> np.ndarray:
     """(F, F) table: gtab[p, j] = template value of a bump at p evaluated
     at j (full support), shared with the oracle."""
-    gvec = P.gaussian_template(cfg.f_sd).astype(np.float32)
+    gvec = P.gaussian_template(cfg.f_sd, cfg.gsize).astype(np.float32)
     gsize = cfg.gsize
     F = cfg.n_bins
     off = np.arange(F)[None, :] - np.arange(F)[:, None]   # j - p

@@ -102,7 +102,9 @@ def spreadpeaks(peaks, npoints=None, width: float = P.F_SD, base=None,
         vec = np.array(base, copy=True)
         npoints = len(vec)
     if gvec is None:
-        gvec = P.gaussian_template(width).astype(vec.dtype)
+        # full support over THIS vector's length (a bump anywhere reaches
+        # every bin), regardless of n_fft
+        gvec = P.gaussian_template(width, npoints - 1).astype(vec.dtype)
     gsize = (len(gvec) - 1) // 2
     for pos, val in peaks:
         lo = max(0, pos - gsize)
@@ -142,7 +144,7 @@ def fwd_prune(sgram: np.ndarray, params: P.AnalyzerParams) -> np.ndarray:
     """
     dtype = sgram.dtype
     T, F = sgram.shape
-    gvec = P.gaussian_template(params.f_sd).astype(dtype)
+    gvec = P.gaussian_template(params.f_sd, F - 1).astype(dtype)
     gsize = (len(gvec) - 1) // 2
     a_dec = dtype.type(params.a_dec)
     peaks = np.zeros((T, F), dtype=bool)
@@ -179,7 +181,7 @@ def bwd_prune(sgram: np.ndarray, peaks: np.ndarray,
     out = peaks.copy()
     if T == 0:
         return out
-    gvec = P.gaussian_template(params.f_sd).astype(dtype)
+    gvec = P.gaussian_template(params.f_sd, F - 1).astype(dtype)
     gsize = (len(gvec) - 1) // 2
     a_dec = dtype.type(params.a_dec)
     sthresh = spreadpeaksinvector(sgram[T - 1], params.f_sd, gvec=gvec).astype(dtype)

@@ -26,7 +26,6 @@ def _device_match(ht, q, mp, qt_cap=128, n_ids_cap=16):
     hpi[: len(ht.hashesperid)] = ht.hashesperid
     mcfg = voting.MatchConfig.from_params(mp, qt_cap=qt_cap,
                                           n_ids_cap=n_ids_cap)
-    mcfg = mcfg._replace(modes_cap=max(4, mp.max_returns))
     Q = 128
     qt = np.zeros((1, Q), np.int32)
     qh = np.zeros((1, Q), np.int32)
@@ -200,6 +199,64 @@ def test_memory_budget_splits_batch_identically(capsys):
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
         assert w.shape[0] == 1
+
+
+def test_memory_budget_prefers_hist_splitting(capsys):
+    """When one query row's hist buffers fit the budget but the batch
+    doesn't, the matcher must SPLIT over the fast hist core — not switch
+    the whole batch to the measured-slower sorted core (round-2 review
+    finding)."""
+    from audfprint_tpu.match.matcher import Matcher
+    ht = HashTable(hashbits=TCFG.hashbits, depth=TCFG.depth,
+                   maxtime=TCFG.maxtime, seed=TCFG.seed)
+    rng = np.random.default_rng(12)
+    queries = []
+    for i in range(4):
+        hs = rng.choice(1 << 12, size=20, replace=False)
+        ht.store_vectorized(f"t{i}.wav", np.stack(
+            [50 * i + np.arange(20), hs], axis=1).astype(np.int64))
+        queries.append(np.stack([np.arange(20), hs], axis=1).astype(np.int32))
+    m = Matcher(threshcount=5, search_depth=8)
+    want = m.match_hashes_batch(ht, queries)
+    m2 = Matcher(threshcount=5, search_depth=8)
+    # budget sized for ~2 rows of hist buffers: per_row fits, 4 rows don't
+    m2.mem_budget_bytes = 2 * m2._voting_bytes_per_row(TCFG, 2048)
+    got = m2.match_hashes_batch(ht, queries)
+    out = capsys.readouterr().out
+    assert "hist voting core" in out and "sub-batches of 2" in out
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_sort_by_time_keeps_earliest_modes():
+    """--exact-count -T -x N truncates to the EARLIEST modes: a track whose
+    early modes have the LOWEST unique counts must still return them first
+    (round-2 review finding: count-desc mode selection inside modes_cap
+    dropped them, returning the later high-count modes instead)."""
+    ht = HashTable(hashbits=TCFG.hashbits, depth=TCFG.depth,
+                   maxtime=TCFG.maxtime, seed=TCFG.seed)
+    rng = np.random.default_rng(11)
+    hs = rng.choice(1 << 12, size=60, replace=False)
+    # 6 modes at dts 100, 250, 400, 550, 700, 850 with STRICTLY INCREASING
+    # counts 5..10 (earliest = weakest), well past modes_cap=4
+    parts, qparts, off = [], [], 0
+    for k, dt in enumerate((100, 250, 400, 550, 700, 850)):
+        cnt = 5 + k
+        sub = hs[off: off + cnt]
+        qt = np.arange(cnt)
+        parts.append(np.stack([dt + qt, sub], axis=1))
+        qparts.append(np.stack([qt, sub], axis=1))
+        off += cnt
+    ht.store_vectorized("t.wav", np.concatenate(parts).astype(np.int64))
+    q = np.unique(np.concatenate(qparts), axis=0).astype(np.int32)
+    for sbt in (False, True):
+        mp = P.MatcherParams(max_returns=3, exact_count=True, threshcount=5,
+                             search_depth=8, sort_by_time=sbt)
+        want = om.match_hashes(ht, q, mp)
+        got = _device_match(ht, q, mp)
+        np.testing.assert_array_equal(got, want)
+        modes = want[:, 2].tolist()
+        assert modes == ([100, 250, 400] if sbt else [850, 700, 550]), modes
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])

@@ -170,6 +170,9 @@ def test_save_upstream_load_roundtrip(tmp_path, capsys):
     ht.store_vectorized("a.wav", pairs)
     path = str(tmp_path / "rt.pklz")
     ht.save_upstream(path)
+    # the pickling shim must not leave a stub module behind that would
+    # shadow a later genuine `import hash_table` (round-2 review finding)
+    assert "hash_table" not in sys.modules
     ht2 = HashTable(path)
     np.testing.assert_array_equal(ht2.table, ht.table)
     np.testing.assert_array_equal(ht2.counts, ht.counts)
