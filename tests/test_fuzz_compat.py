@@ -76,15 +76,12 @@ def test_duplicate_heavy_store_and_match(seed):
     assert np.array_equal(np.asarray(table), ht.table)
     assert np.array_equal(np.asarray(counts), ht.counts)
 
-    # match a duplicate-heavy query: device rows == oracle rows exactly
+    # match a duplicate-heavy query: device rows == oracle rows exactly,
+    # across the full option matrix (exact x time-range x sort-by-time —
+    # the sbt axis pins the earliest-mode selection rule)
     q = np.stack([rng.integers(0, 32, 60),
                   rng.integers(0, 16, 60)], axis=1).astype(np.int32)
     q = np.unique(q, axis=0)
-    mp = P.MatcherParams(search_depth=8, max_returns=4, threshcount=1,
-                         exact_count=bool(seed % 2))
-    want = om.match_hashes(ht, q, mp)
-    mcfg = voting.MatchConfig.from_params(mp, qt_cap=64, n_ids_cap=16)
-    mcfg = mcfg._replace(search_depth=8)
     Q = 64
     qt = np.zeros((1, Q), np.int32)
     qh = np.zeros((1, Q), np.int32)
@@ -94,11 +91,22 @@ def test_duplicate_heavy_store_and_match(seed):
     qv[0, :len(q)] = True
     hpi = np.zeros(16, np.int32)
     hpi[:4] = ht.hashesperid
-    out = voting.match_batch(table, counts, jnp.asarray(hpi),
-                             jnp.asarray(qt), jnp.asarray(qh),
-                             jnp.asarray(qv), tcfg, mcfg)
-    n = int(out["n_results"][0])
-    got = np.stack([np.asarray(out[k])[0] for k in
-                    ("ids", "filtcount", "mode_dt", "rawcount",
-                     "min_t", "max_t")], axis=1)[:n]
-    assert np.array_equal(got, want), f"seed {seed}"
+    for exact in (False, True):
+        for timerange in (False, True):
+            for sbt in (False, True):
+                mp = P.MatcherParams(search_depth=8, max_returns=4,
+                                     threshcount=1, exact_count=exact,
+                                     find_time_range=timerange,
+                                     sort_by_time=sbt)
+                want = om.match_hashes(ht, q, mp)
+                mcfg = voting.MatchConfig.from_params(
+                    mp, qt_cap=64, n_ids_cap=16)
+                out = voting.match_batch(
+                    table, counts, jnp.asarray(hpi), jnp.asarray(qt),
+                    jnp.asarray(qh), jnp.asarray(qv), tcfg, mcfg)
+                n = int(out["n_results"][0])
+                got = np.stack([np.asarray(out[k])[0] for k in
+                                ("ids", "filtcount", "mode_dt", "rawcount",
+                                 "min_t", "max_t")], axis=1)[:n]
+                assert np.array_equal(got, want), \
+                    f"seed {seed} exact={exact} tr={timerange} sbt={sbt}"
