@@ -41,8 +41,9 @@ def test_sharded_store_matches_single(mesh, rng):
     assert np.array_equal(np.asarray(countsN), np.asarray(counts1))
 
 
-@pytest.mark.parametrize("exact,timerange", [(False, False), (True, True)])
-def test_sharded_match_matches_single(mesh, rng, exact, timerange):
+@pytest.mark.parametrize("exact,timerange,sbt", [
+    (False, False, False), (True, True, False), (True, True, True)])
+def test_sharded_match_matches_single(mesh, rng, exact, timerange, sbt):
     t, h, v, ids = _streams(rng, B=4, L=400)
     table, counts = DT.empty_table(TCFG)
     table, counts = DT.store_batch(table, counts, t, h, v, ids, TCFG)
@@ -63,7 +64,7 @@ def test_sharded_match_matches_single(mesh, rng, exact, timerange):
 
     mcfg = voting.MatchConfig(search_depth=8, max_returns=3, qt_cap=1024,
                               n_ids_cap=32, exact_count=exact,
-                              find_time_range=timerange)
+                              find_time_range=timerange, sort_by_time=sbt)
     want = voting.match_batch(table, counts, hpi, jnp.asarray(tq),
                               jnp.asarray(hq), jnp.asarray(vq), TCFG, mcfg)
     tableN, countsN = sharded.shard_table(mesh, table, counts)
