@@ -166,19 +166,16 @@ class Matcher:
             qt_cap=qt_cap, n_ids_cap=ncap,
             modes_cap=max(4, self.max_returns))
         import jax.numpy as jnp
-        fn = (voting.match_batch_sorted if core == "sorted"
-              else voting.match_batch_hist)
-        out = fn(table, counts, hpi, jnp.asarray(tt),
-                 jnp.asarray(hh), jnp.asarray(vv), tcfg, mcfg)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        # single packed output buffer = single D2H fetch (the per-array
+        # fetches of the dict form dominated per-batch latency through the
+        # relay; see voting.match_batch_packed)
+        out = np.asarray(voting.match_batch_packed(
+            table, counts, hpi, jnp.asarray(tt), jnp.asarray(hh),
+            jnp.asarray(vv), tcfg, mcfg, core))
         results = []
         for b in range(B):
-            n = int(out["n_results"][b])
-            rows = np.stack([out["ids"][b], out["filtcount"][b],
-                             out["mode_dt"][b], out["rawcount"][b],
-                             out["min_t"][b], out["max_t"][b]],
-                            axis=1)[:n].astype(np.int64)
-            results.append(rows)
+            n = int(out[b, :, 6].sum())   # n_results == rvalid.sum()
+            results.append(out[b, :n, :6].astype(np.int64))
         return results
 
     # -- file-level API -----------------------------------------------------

@@ -78,6 +78,63 @@ class MatchConfig(NamedTuple):
                    modes_cap=max(4, mp.max_returns))
 
 
+def _select_candidates_hits(id_f, v_f, bidx, hashesperid,
+                            mcfg: MatchConfig):
+    """Hit-domain candidate selection (single-device fast path).
+
+    The id-domain path below sorts the FULL (B, n_ids_cap) weighted-count
+    array — at 100k+ tracks that one sort dominates the whole matching
+    graph (measured 52 of 126 ms per B=128 batch at config-5 scale).  A
+    query only ever hits H = Q*depth ids, so this formulation works
+    entirely in the (B, H) hit domain:
+
+      sort hit ids -> run-length raw counts (cummax/cummin scans, no
+      searchsorted) -> one 3-operand sort over the run STARTS by
+      (-wc, -id) -> top-SD; per-hit ranks via a (B, n_ids_cap) scatter +
+      gather (bandwidth-cheap, no sort).
+
+    Bit-identical to the id-domain path: same wc = raw/hpi f32 values,
+    same (wc desc, id desc) order, same validity (raw > 0).  Invalid
+    candidate slots scatter their rank at index n_ids_cap (out of bounds
+    -> dropped), so a filler id can never alias a real hit id."""
+    B, H = id_f.shape
+    SD = mcfg.search_depth
+    N = mcfg.n_ids_cap
+    iota_h = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None], (B, H))
+    key = jnp.where(v_f, jnp.minimum(id_f, N - 1), N)
+    s = jax.lax.sort(key)
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), s[:, 1:] != s[:, :-1]], axis=1)
+    # run length per hit, scan-only: a hit's run ends at the next start
+    # strictly after it (exclusive reverse cummin of start positions —
+    # identical for every hit of a run) and begins at its own run start
+    # (forward cummax of start positions)
+    a = jnp.where(first, iota_h, H)
+    nxt_incl = jnp.flip(jax.lax.cummin(jnp.flip(a, 1), axis=1), 1)
+    nxt = jnp.concatenate(
+        [nxt_incl[:, 1:], jnp.full((B, 1), H, jnp.int32)], axis=1)
+    sidx = jax.lax.cummax(jnp.where(first, iota_h, 0), axis=1)
+    c_h = nxt - sidx                                    # count per hit
+    hpi = jnp.maximum(1, hashesperid).astype(jnp.float32)
+    wc = c_h.astype(jnp.float32) / hpi[jnp.minimum(s, N - 1)]
+    inf = jnp.float32(jnp.inf)
+    k1 = jnp.where(first & (s < N), -wc, inf)           # starts only
+    k1s, negid_s, pos_s = jax.lax.sort((k1, -s, iota_h), num_keys=2)
+    cand_valid = k1s[:, :SD] < inf
+    cand_ids = jnp.where(cand_valid, -negid_s[:, :SD], N - 1)
+    cand_raw = jnp.where(
+        cand_valid, jnp.take_along_axis(c_h, pos_s[:, :SD], axis=1), 0)
+    rankmap = jnp.full((B, N), SD, jnp.int32)
+    rankmap = rankmap.at[
+        jnp.arange(B)[:, None],
+        jnp.where(cand_valid, cand_ids, N)].set(      # N = OOB -> dropped
+        jnp.broadcast_to(jnp.arange(SD, dtype=jnp.int32)[None, :], (B, SD)),
+        mode="drop")
+    id_safe = jnp.where(v_f, jnp.minimum(id_f, N - 1), 0)
+    rank_f = jnp.where(v_f, rankmap[bidx, id_safe], SD)
+    return cand_ids, cand_raw, cand_valid, rank_f
+
+
 def _select_candidates(id_f, v_f, bidx, hashesperid, mcfg: MatchConfig,
                        sum_all: Callable = _ident):
     """Raw counts per id (combined across shards) -> weighted top-SD
@@ -85,10 +142,15 @@ def _select_candidates(id_f, v_f, bidx, hashesperid, mcfg: MatchConfig,
 
     Ranking: raw count / hashesperid; ties id-DESC via two sort keys
     (-wc, -id) — the upstream np.argsort(wcounts)[::-1] tie rule (oracle
-    best_count_ids).  One full sort (lax.top_k's k=100 partial-sort
-    lowering measured slower).  Returns (cand_ids, cand_raw, cand_valid
-    (B, SD); rank_f (B, H) with SD = "not a candidate").
+    best_count_ids).  Unsharded calls dispatch to the hit-domain
+    formulation (_select_candidates_hits); the id-domain scatter + full
+    sort below remains for the sharded path, where per-shard partial
+    counts must be psum-combined in the id domain before selection.
+    Returns (cand_ids, cand_raw, cand_valid (B, SD); rank_f (B, H) with
+    SD = "not a candidate").
     """
+    if sum_all is _ident:
+        return _select_candidates_hits(id_f, v_f, bidx, hashesperid, mcfg)
     B = id_f.shape[0]
     SD = mcfg.search_depth
     id_safe = jnp.where(v_f, jnp.minimum(id_f, mcfg.n_ids_cap - 1), 0)
@@ -594,6 +656,29 @@ def match_batch_hist(table: jax.Array, counts: jax.Array,
     shard_map path runs; the fast path at ordinary shapes)."""
     return match_core(table, counts, hashesperid, qtimes, qhashes, qvalid,
                       tcfg, mcfg)
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg", "mcfg", "core"))
+def match_batch_packed(table: jax.Array, counts: jax.Array,
+                       hashesperid: jax.Array, qtimes: jax.Array,
+                       qhashes: jax.Array, qvalid: jax.Array,
+                       tcfg: DT.TableConfig, mcfg: MatchConfig,
+                       core: str = "hist"):
+    """Matching with the result dict packed into ONE (B, max_returns, 7)
+    int32 array: [id, filtcount, mode_dt, rawcount, min_t, max_t, rvalid].
+
+    One device buffer = one host fetch.  The dict form costs 8 separate
+    D2H transfers; on a directly-attached chip that is sub-ms, but through
+    a relay each fetch pays a round-trip, and the fetches — not the voting
+    — dominated the measured per-batch latency.  n_results is recoverable
+    client-side as rvalid.sum() (invalid rows sort last and are zeroed)."""
+    fn = match_core_sorted if core == "sorted" else match_core
+    out = fn(table, counts, hashesperid, qtimes, qhashes, qvalid,
+             tcfg, mcfg)
+    return jnp.stack(
+        [out["ids"], out["filtcount"], out["mode_dt"], out["rawcount"],
+         out["min_t"], out["max_t"], out["rvalid"].astype(jnp.int32)],
+        axis=-1)
 
 
 # default single-device entry: the hist core (fastest at ordinary shapes);

@@ -86,13 +86,21 @@ def sharded_match_fn(mesh: Mesh, tcfg: DT.TableConfig,
     ndev = mesh.devices.size
     assert tcfg.n_buckets % ndev == 0
     n_local = tcfg.n_buckets // ndev
+    # a 1-device mesh has nothing to combine: identity combiners let
+    # match_core take its hit-domain candidate-selection fast path
+    # (bit-identical either way)
+    if ndev == 1:
+        combiners = dict(sum_all=voting._ident, min_all=voting._ident)
+    else:
+        combiners = dict(
+            sum_all=functools.partial(jax.lax.psum, axis_name="d"),
+            min_all=functools.partial(jax.lax.pmin, axis_name="d"))
 
     def _local(table, counts, hpi, qt, qh, qv):
         lo = jax.lax.axis_index("d") * n_local
         return voting.match_core(
             table, counts, hpi, qt, qh, qv, tcfg, mcfg, bucket_lo=lo,
-            sum_all=functools.partial(jax.lax.psum, axis_name="d"),
-            min_all=functools.partial(jax.lax.pmin, axis_name="d"))
+            **combiners)
 
     f = shard_map(_local, mesh=mesh,
                   in_specs=(PS("d", None), PS("d"), PS(), PS(), PS(), PS()),

@@ -75,6 +75,31 @@ def test_sharded_match_matches_single(mesh, rng, exact, timerange, sbt):
         assert np.array_equal(np.asarray(got[k]), np.asarray(want[k])), k
 
 
+def test_sharded_single_device_fast_path(rng):
+    """A 1-device mesh takes the identity-combiner (hit-domain selection)
+    fast path; results must equal both the 8-device sharded match and the
+    plain single-device core."""
+    t, h, v, ids = _streams(rng, B=4, L=400)
+    table, counts = DT.empty_table(TCFG)
+    table, counts = DT.store_batch(table, counts, t, h, v, ids, TCFG)
+    hpi = jnp.asarray(np.full(32, 400, np.int32))
+    tq = np.asarray(t)[:3, :128].copy().astype(np.int32)
+    hq = np.asarray(h)[:3, :128].astype(np.int32)
+    vq = np.asarray(v)[:3, :128]
+    mcfg = voting.MatchConfig(search_depth=8, max_returns=3, qt_cap=1024,
+                              n_ids_cap=32, exact_count=True,
+                              find_time_range=True)
+    want = voting.match_batch(table, counts, hpi, jnp.asarray(tq),
+                              jnp.asarray(hq), jnp.asarray(vq), TCFG, mcfg)
+    mesh1 = sharded.make_mesh(1)
+    t1, c1 = sharded.shard_table(mesh1, table, counts)
+    match1 = sharded.sharded_match_fn(mesh1, TCFG, mcfg)
+    got = match1(t1, c1, hpi, jnp.asarray(tq), jnp.asarray(hq),
+                 jnp.asarray(vq))
+    for k in want:
+        assert np.array_equal(np.asarray(got[k]), np.asarray(want[k])), k
+
+
 def test_dp_fingerprint_sharded(mesh):
     from audfprint_tpu.ops.config import PipelineConfig
     from tests.conftest import synth_audio
