@@ -120,10 +120,16 @@ def _select_candidates_hits(id_f, v_f, bidx, hashesperid,
     inf = jnp.float32(jnp.inf)
     k1 = jnp.where(first & (s < N), -wc, inf)           # starts only
     k1s, negid_s, pos_s = jax.lax.sort((k1, -s, iota_h), num_keys=2)
-    cand_valid = k1s[:, :SD] < inf
-    cand_ids = jnp.where(cand_valid, -negid_s[:, :SD], N - 1)
+    # a query can hold at most H distinct candidate ids; when SD > H the
+    # extra slots are necessarily invalid — pad them (the id-domain path
+    # fills them with never-hit ids, equally invisible in the output)
+    S = min(SD, H)
+    pad = ((0, 0), (0, SD - S))
+    cand_valid = jnp.pad(k1s[:, :S] < inf, pad)
+    cand_ids = jnp.where(cand_valid, jnp.pad(-negid_s[:, :S], pad), N - 1)
     cand_raw = jnp.where(
-        cand_valid, jnp.take_along_axis(c_h, pos_s[:, :SD], axis=1), 0)
+        cand_valid,
+        jnp.pad(jnp.take_along_axis(c_h, pos_s[:, :S], axis=1), pad), 0)
     rankmap = jnp.full((B, N), SD, jnp.int32)
     rankmap = rankmap.at[
         jnp.arange(B)[:, None],

@@ -201,6 +201,39 @@ def test_memory_budget_splits_batch_identically(capsys):
         assert w.shape[0] == 1
 
 
+def test_search_depth_beyond_hit_capacity():
+    """search_depth > H = Q*depth (shallow table, deep search) must not
+    crash the hit-domain selection (round-2 review finding): extra slots
+    are necessarily invalid and results equal the oracle."""
+    tc = DT.TableConfig(hashbits=10, depth=2, maxtimebits=8, seed=0)
+    ht = HashTable(hashbits=10, depth=2, maxtime=256, seed=0)
+    rng = np.random.default_rng(13)
+    hs = rng.choice(1 << 10, size=12, replace=False)
+    ht.store_vectorized("t.wav", np.stack(
+        [40 + np.arange(12), hs], axis=1).astype(np.int64))
+    q = np.stack([np.arange(12), hs], axis=1).astype(np.int32)
+    mp = P.MatcherParams(max_returns=2, threshcount=5, search_depth=100)
+    want = om.match_hashes(ht, q, mp)
+    assert want.shape[0] == 1
+    Q = 16                       # H = Q*depth = 32 < search_depth = 100
+    mcfg = voting.MatchConfig.from_params(mp, qt_cap=64, n_ids_cap=16)
+    qt = np.zeros((1, Q), np.int32)
+    qh = np.zeros((1, Q), np.int32)
+    qv = np.zeros((1, Q), bool)
+    qt[0, :len(q)], qh[0, :len(q)], qv[0, :len(q)] = q[:, 0], q[:, 1], True
+    hpi = np.zeros(16, np.int32)
+    hpi[:1] = ht.hashesperid
+    for fn in (voting.match_batch_hist, voting.match_batch_sorted):
+        out = fn(jnp.asarray(ht.table), jnp.asarray(ht.counts),
+                 jnp.asarray(hpi), jnp.asarray(qt), jnp.asarray(qh),
+                 jnp.asarray(qv), tc, mcfg)
+        n = int(out["n_results"][0])
+        got = np.stack([np.asarray(out[k])[0] for k in
+                        ("ids", "filtcount", "mode_dt", "rawcount",
+                         "min_t", "max_t")], axis=1)[:n].astype(np.int64)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_memory_budget_prefers_hist_splitting(capsys):
     """When one query row's hist buffers fit the budget but the batch
     doesn't, the matcher must SPLIT over the fast hist core — not switch

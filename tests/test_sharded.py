@@ -77,8 +77,8 @@ def test_sharded_match_matches_single(mesh, rng, exact, timerange, sbt):
 
 def test_sharded_single_device_fast_path(rng):
     """A 1-device mesh takes the identity-combiner (hit-domain selection)
-    fast path; results must equal both the 8-device sharded match and the
-    plain single-device core."""
+    fast path; results must equal the plain single-device core AND the
+    id-domain selection path (forced via non-identity combiners)."""
     t, h, v, ids = _streams(rng, B=4, L=400)
     table, counts = DT.empty_table(TCFG)
     table, counts = DT.store_batch(table, counts, t, h, v, ids, TCFG)
@@ -96,8 +96,16 @@ def test_sharded_single_device_fast_path(rng):
     match1 = sharded.sharded_match_fn(mesh1, TCFG, mcfg)
     got = match1(t1, c1, hpi, jnp.asarray(tq), jnp.asarray(hq),
                  jnp.asarray(vq))
+    # id-domain selection path, forced by non-_ident (but semantically
+    # identity) combiners — pins hit-domain == id-domain directly
+    ident2 = lambda x: x  # noqa: E731
+    want_id = voting.match_core(table, counts, hpi, jnp.asarray(tq),
+                                jnp.asarray(hq), jnp.asarray(vq), TCFG,
+                                mcfg, sum_all=ident2, min_all=ident2)
     for k in want:
         assert np.array_equal(np.asarray(got[k]), np.asarray(want[k])), k
+        assert np.array_equal(np.asarray(got[k]),
+                              np.asarray(want_id[k])), f"id-domain {k}"
 
 
 def test_dp_fingerprint_sharded(mesh):
