@@ -161,10 +161,13 @@ def _decode_many(analyzer: Analyzer, names: list, ncores: int, report):
     (native/audfp_host.cpp); everything else (other formats, float WAVs,
     decode errors) falls back to the per-file Python/ffmpeg path."""
     results: dict[int, object] = {}
-    # the WAV subset takes the native loader even when the chunk mixes
-    # formats (round 1 sent mixed chunks wholesale down the slow path)
+    # 16-bit mono WAVs already at the analysis rate stay raw int16 (half
+    # the H2D bytes, device-side exact conversion); the remaining WAV
+    # subset takes the native loader even when the chunk mixes formats
+    # (round 1 sent mixed chunks wholesale down the slow path)
     wav_idx = [i for i, n in enumerate(names)
-               if n.lower().endswith(".wav") and os.path.exists(n)]
+               if n.lower().endswith(".wav") and os.path.exists(n)
+               and not audio_io.wav_is_target_mono16(n, analyzer.target_sr)]
     if wav_idx:
         fast = audio_io.read_wav_batch([names[i] for i in wav_idx],
                                        sr=analyzer.target_sr,
@@ -177,8 +180,7 @@ def _decode_many(analyzer: Analyzer, names: list, ncores: int, report):
 
     def _one(name):
         try:
-            d, _ = audio_io.audio_read(name, sr=analyzer.target_sr,
-                                       channels=1)
+            d, _ = audio_io.audio_read_staged(name, sr=analyzer.target_sr)
             return d
         except audio_io.DecodeError as e:
             if analyzer.fail_on_error:

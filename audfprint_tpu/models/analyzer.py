@@ -188,26 +188,36 @@ class Analyzer:
                 while nrows < len(idxs):
                     nrows *= 2
                 nrows = min(nrows, rows_cap)
-                batch = np.zeros((nrows, blen), np.float32)
+                # raw-PCM staging: when every row is int16 the batch ships
+                # as int16 (half the H2D bytes; converted bit-exactly on
+                # device — ops.pipeline.fingerprint_batch)
+                all_i16 = all(signals[i].dtype == np.int16 for i in idxs)
+                batch = np.zeros((nrows, blen),
+                                 np.int16 if all_i16 else np.float32)
                 lens = np.zeros(nrows, np.int32)
                 for row, i in enumerate(idxs):
-                    batch[row, : len(signals[i])] = signals[i]
-                    lens[row] = len(signals[i])
-                dev = pipe.fingerprint_batch(jnp.asarray(batch),
-                                             jnp.asarray(lens), self.config)
+                    s = signals[i]
+                    if not all_i16 and s.dtype == np.int16:
+                        s = s.astype(np.float32) / float(1 << 15)
+                    batch[row, : len(s)] = s
+                    lens[row] = len(s)
+                dev = pipe.fingerprint_batch_compact(
+                    jnp.asarray(batch), jnp.asarray(lens), self.config)
                 handle.append((idxs, dev))
         return (len(signals), handle)
 
     def fingerprint_resolve(self, handle) -> list:
-        """Materialize the results of fingerprint_async as (n, 2) arrays."""
+        """Materialize the results of fingerprint_async as (n, 2) arrays.
+
+        Fetches the front-compacted (t, hash) slice only (one packed
+        buffer per dispatch group instead of three full-capacity arrays —
+        the D2H transfer is what bounds ingest on relay-attached chips)."""
         n, groups = handle
         out: list = [None] * n
-        for idxs, (t_s, h_s, uniq, _counts) in groups:
-            t_s, h_s, uniq = np.asarray(t_s), np.asarray(h_s), np.asarray(uniq)
+        for idxs, (th, counts) in groups:
+            rows = pipe.resolve_compact(th, counts)
             for row, i in enumerate(idxs):
-                m = uniq[row]
-                out[i] = np.stack([t_s[row][m], h_s[row][m]],
-                                  axis=1).astype(np.int32)
+                out[i] = rows[row]
         return out
 
     def samples_batch2hashes(self, signals: list) -> list:

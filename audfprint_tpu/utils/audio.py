@@ -134,6 +134,34 @@ def audio_read(filename: str, sr: int | None = None, channels: int = 1):
     return _read_ffmpeg(filename, sr, channels)
 
 
+def wav_is_target_mono16(filename: str, sr: int) -> bool:
+    """Header-only check: 16-bit PCM, mono, already at the analysis rate —
+    the case where samples can ship to the device as raw int16 (the
+    device-side x * 2**-15 conversion is bit-exact in float32)."""
+    try:
+        with wave.open(filename, "rb") as w:
+            return (w.getnchannels() == 1 and w.getsampwidth() == 2
+                    and w.getframerate() == sr)
+    except (wave.Error, EOFError, OSError):
+        return False
+
+
+def audio_read_staged(filename: str, sr: int | None = None):
+    """audio_read variant for device staging: returns (array, sr) where the
+    array is UNCONVERTED int16 when the source is 16-bit PCM mono already at
+    `sr` (half the host->device bytes; converted losslessly on device), and
+    the usual float32 otherwise."""
+    if (sr is not None and filename.lower().endswith(".wav")
+            and wav_is_target_mono16(filename, sr)):
+        try:
+            with wave.open(filename, "rb") as w:
+                raw = w.readframes(w.getnframes())
+            return np.frombuffer(raw, dtype="<i2"), sr
+        except (wave.Error, EOFError):
+            pass
+    return audio_read(filename, sr=sr, channels=1)
+
+
 def read_wav_batch(paths: list, sr: int | None = None,
                    n_threads: int = 8) -> list | None:
     """Bulk decode of PCM WAVs via the native C++ loader (threaded).

@@ -53,3 +53,54 @@ def test_long_file_matches_oracle_decision():
     rows = Matcher().match_hashes(ht, qh)
     assert len(rows) == 1 and rows[0][0] == 0
     assert abs(rows[0][2] - 1292) <= 2
+
+
+def test_int16_staging_bit_identical():
+    """Raw int16 PCM staging must produce bit-identical hashes to the host
+    float32 conversion (device-side x * 2**-15 is an exact exponent shift),
+    through fingerprint_batch, the compact path, and the Analyzer/CLI."""
+    rng = np.random.default_rng(21)
+    x = synth_audio(rng, dur_sec=2.0)
+    n = 1 << 15
+    xi = np.clip(x[:n] * (1 << 15), -(1 << 15),
+                 (1 << 15) - 1).astype(np.int16)
+    xf = xi.astype(np.float32) / float(1 << 15)   # host buf_to_float
+    bi = np.zeros((1, n), np.int16)
+    bf = np.zeros((1, n), np.float32)
+    bi[0, : len(xi)] = xi
+    bf[0, : len(xf)] = xf
+    lengths = jnp.asarray(np.array([len(xi)], np.int32))
+    a = pipe.fingerprint_batch(jnp.asarray(bi), lengths, CFG)
+    b = pipe.fingerprint_batch(jnp.asarray(bf), lengths, CFG)
+    for x1, x2 in zip(a, b):
+        assert np.array_equal(np.asarray(x1), np.asarray(x2))
+    # Analyzer staging: an all-int16 chunk ships int16, mixed chunks upcast
+    from audfprint_tpu.models.analyzer import Analyzer
+    an = Analyzer()
+    ha = an.samples_batch2hashes([xi])
+    hb = an.samples_batch2hashes([xf])
+    hm = an.samples_batch2hashes([xi, xf])        # mixed -> float32 batch
+    np.testing.assert_array_equal(ha[0], hb[0])
+    np.testing.assert_array_equal(hm[0], hb[0])
+    np.testing.assert_array_equal(hm[1], hb[0])
+
+
+def test_audio_read_staged_int16(tmp_path):
+    """audio_read_staged returns raw int16 only for 16-bit mono at the
+    target rate, and float32 (same samples) otherwise."""
+    from audfprint_tpu.utils.audio import (audio_read, audio_read_staged,
+                                           audio_write_wav,
+                                           wav_is_target_mono16)
+    rng = np.random.default_rng(22)
+    x = synth_audio(rng, dur_sec=1.0)
+    p = str(tmp_path / "t.wav")
+    audio_write_wav(p, x, SR)
+    assert wav_is_target_mono16(p, SR)
+    assert not wav_is_target_mono16(p, 8000)
+    d, sr = audio_read_staged(p, sr=SR)
+    assert d.dtype == np.int16 and sr == SR
+    f, _ = audio_read(p, sr=SR, channels=1)
+    np.testing.assert_array_equal(d.astype(np.float32) / float(1 << 15), f)
+    # rate mismatch -> falls back to float32 resampled read
+    d2, sr2 = audio_read_staged(p, sr=8000)
+    assert d2.dtype == np.float32 and sr2 == 8000
