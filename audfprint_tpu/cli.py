@@ -162,9 +162,11 @@ def _decode_many(analyzer: Analyzer, names: list, ncores: int, report):
     decode errors) falls back to the per-file Python/ffmpeg path."""
     results: dict[int, object] = {}
     # 16-bit mono WAVs already at the analysis rate stay raw int16 (half
-    # the H2D bytes, device-side exact conversion); the remaining WAV
-    # subset takes the native loader even when the chunk mixes formats
-    # (round 1 sent mixed chunks wholesale down the slow path)
+    # the H2D bytes, device-side exact conversion) and are read on host
+    # threads; the remaining WAV subset takes the native C++ loader even
+    # when the chunk mixes formats (round 1 sent mixed chunks wholesale
+    # down the slow path).  Eligibility is checked once per file here;
+    # audio_read_staged re-verifies on the same handle it reads from.
     wav_idx = [i for i, n in enumerate(names)
                if n.lower().endswith(".wav") and os.path.exists(n)
                and not audio_io.wav_is_target_mono16(n, analyzer.target_sr)]
@@ -189,8 +191,11 @@ def _decode_many(analyzer: Analyzer, names: list, ncores: int, report):
             return None
 
     if todo:
-        if ncores > 1:
-            with ThreadPoolExecutor(max_workers=ncores) as ex:
+        # decode is I/O-bound: give it >= 2 threads like the native
+        # loader, regardless of --ncores (which scales it further)
+        nthreads = max(2, ncores) if len(todo) > 1 else 1
+        if nthreads > 1:
+            with ThreadPoolExecutor(max_workers=nthreads) as ex:
                 slow = list(ex.map(_one, [names[i] for i in todo]))
         else:
             slow = [_one(names[i]) for i in todo]

@@ -177,6 +177,12 @@ class Analyzer:
             groups.setdefault(_bucket_len(len(signals[i])), []).append(i)
         handle = []
         rows_cap = max(1, int(self.max_batch_rows))
+        # dtype decided per CALL, not per chunk: a mixed corpus stages
+        # everything float32 so each (rows, blen) bucket compiles ONE
+        # graph, while pure-int16 corpora (the common precomputed case)
+        # ship raw PCM throughout
+        all_i16 = bool(signals) and all(
+            s.dtype == np.int16 for s in signals if len(s))
         for blen, g_idxs in groups.items():
             for i0 in range(0, len(g_idxs), rows_cap):
                 idxs = g_idxs[i0: i0 + rows_cap]
@@ -188,10 +194,9 @@ class Analyzer:
                 while nrows < len(idxs):
                     nrows *= 2
                 nrows = min(nrows, rows_cap)
-                # raw-PCM staging: when every row is int16 the batch ships
-                # as int16 (half the H2D bytes; converted bit-exactly on
-                # device — ops.pipeline.fingerprint_batch)
-                all_i16 = all(signals[i].dtype == np.int16 for i in idxs)
+                # raw-PCM staging: int16 batches convert bit-exactly on
+                # device (ops.pipeline.fingerprint_batch), at half the
+                # H2D bytes
                 batch = np.zeros((nrows, blen),
                                  np.int16 if all_i16 else np.float32)
                 lens = np.zeros(nrows, np.int32)

@@ -41,7 +41,12 @@ class CommunicationError(DecodeError):
 
 
 def buf_to_float(raw: bytes, sampwidth: int) -> np.ndarray:
-    """Interleaved PCM bytes -> float32 in [-1, 1) (reference buf_to_float)."""
+    """Interleaved PCM bytes -> float32 in [-1, 1) (reference buf_to_float).
+
+    A truncated final sample (corrupt/odd-length data chunk) is dropped,
+    matching ffmpeg's decode-what-is-there tolerance."""
+    if len(raw) % sampwidth:
+        raw = raw[: len(raw) - (len(raw) % sampwidth)]
     if sampwidth == 1:  # unsigned 8-bit
         x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
         return (x - 128.0) / 128.0
@@ -122,9 +127,10 @@ def audio_read(filename: str, sr: int | None = None, channels: int = 1):
     if filename.lower().endswith(".wav"):
         try:
             x, in_sr = _read_wav(filename)
-        except (wave.Error, EOFError) as e:
-            # non-PCM wav -> try ffmpeg
-            if shutil.which("ffmpeg"):
+        except (wave.Error, EOFError, OSError, ValueError) as e:
+            # non-PCM/corrupt wav -> try ffmpeg; missing file stays a
+            # DecodeError so --continue-on-error keeps its contract
+            if shutil.which("ffmpeg") and os.path.exists(filename):
                 return _read_ffmpeg(filename, sr, channels)
             raise DecodeError(f"cannot decode {filename}: {e}") from e
         if sr is not None:
@@ -150,14 +156,18 @@ def audio_read_staged(filename: str, sr: int | None = None):
     """audio_read variant for device staging: returns (array, sr) where the
     array is UNCONVERTED int16 when the source is 16-bit PCM mono already at
     `sr` (half the host->device bytes; converted losslessly on device), and
-    the usual float32 otherwise."""
-    if (sr is not None and filename.lower().endswith(".wav")
-            and wav_is_target_mono16(filename, sr)):
+    the usual float32 otherwise.  Single open: eligibility is checked on
+    the same handle that reads the frames."""
+    if sr is not None and filename.lower().endswith(".wav"):
         try:
             with wave.open(filename, "rb") as w:
-                raw = w.readframes(w.getnframes())
-            return np.frombuffer(raw, dtype="<i2"), sr
-        except (wave.Error, EOFError):
+                if (w.getnchannels() == 1 and w.getsampwidth() == 2
+                        and w.getframerate() == sr):
+                    raw = w.readframes(w.getnframes())
+                    if len(raw) % 2:          # truncated final sample
+                        raw = raw[:-1]
+                    return np.frombuffer(raw, dtype="<i2"), sr
+        except (wave.Error, EOFError, OSError, ValueError):
             pass
     return audio_read(filename, sr=sr, channels=1)
 

@@ -95,3 +95,34 @@ def test_analyzer_empty_and_short_audio():
     assert len(an.samples2hashes(np.zeros(100, np.float32))) == 0  # < n_fft
     # silence: zero hashes (oracle passes raw zeros through)
     assert len(an.samples2hashes(np.zeros(SR, np.float32))) == 0
+
+
+def test_truncated_wav_tolerated(tmp_path):
+    """A WAV whose data chunk ends mid-sample decodes with the partial
+    sample dropped (ffmpeg-style tolerance) on both read paths, and a
+    missing file surfaces as DecodeError (the --continue-on-error
+    contract), not a bare OSError."""
+    import wave
+
+    import pytest
+
+    from audfprint_tpu.utils.audio import (DecodeError, audio_read,
+                                           audio_read_staged,
+                                           audio_write_wav)
+    sr = 11025
+    rng = np.random.default_rng(30)
+    x = (0.1 * rng.standard_normal(sr)).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    audio_write_wav(p, x, sr)
+    raw = open(p, "rb").read()
+    pt = str(tmp_path / "trunc.wav")
+    open(pt, "wb").write(raw[:-1])        # odd-length data chunk
+    with wave.open(pt, "rb") as w:        # header still parses
+        assert w.getsampwidth() == 2
+    d, _ = audio_read(pt, sr=sr)
+    assert d.dtype == np.float32 and len(d) == sr - 1
+    d2, _ = audio_read_staged(pt, sr=sr)
+    assert d2.dtype == np.int16 and len(d2) == sr - 1
+    for fn in (audio_read, audio_read_staged):
+        with pytest.raises(DecodeError):
+            fn(str(tmp_path / "missing.wav"), sr=sr)
