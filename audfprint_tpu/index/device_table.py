@@ -171,13 +171,16 @@ def get_hits_local(table: jax.Array, counts: jax.Array,
     qh = (qhashes & hashmask) - jnp.asarray(bucket_lo, jnp.int32)
     own = (qh >= 0) & (qh < n_local)
     qh = jnp.clip(qh, 0, n_local - 1)
-    tab = table[qh].astype(jnp.int32)                      # (B,Q,depth)
+    tab = table[qh]                                        # (B,Q,depth) u32
     nids = jnp.minimum(cfg.depth, counts[qh])              # (B,Q)
     slotidx = jnp.arange(cfg.depth, dtype=jnp.int32)
     hvalid = ((slotidx[None, None, :] < nids[:, :, None])
               & (qvalid & own)[:, :, None])
+    # decode in uint32 (logical shift): an int32 cast before the shift
+    # sign-extends entries with the top bit set, corrupting ids >= 2^17
+    # at default maxtimebits=14 — half the packing's 2^18 id capacity
     ids = (tab >> cfg.maxtimebits).astype(jnp.int32)
-    dts = (tab & timemask) - qtimes[:, :, None]
+    dts = (tab & jnp.uint32(timemask)).astype(jnp.int32) - qtimes[:, :, None]
     return ids, dts, hvalid
 
 

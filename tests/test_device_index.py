@@ -180,3 +180,52 @@ def test_match_batch_no_hits(rng):
     ht.counts[(1 << TCFG.hashbits) - 1] = 0  # ensure bucket empty
     out = _run_device_match(ht, [q], mp)
     assert out["n_results"][0] == 0
+
+
+def test_high_track_ids_decode_correctly():
+    """Track ids with the entry's top bit set (id >= 2^(31-maxtimebits))
+    must decode correctly: the packing supports 2^(32-maxtimebits) ids as
+    in the reference, and an int32 cast before the shift silently halved
+    that (round-2 review finding).  Pinned against the host table."""
+    tc = DT.TableConfig(hashbits=10, depth=4, maxtimebits=10, seed=0)
+    ht = HashTable(hashbits=10, depth=4, maxtime=1024, seed=0)
+    rng = np.random.default_rng(40)
+    # ids straddling the sign boundary 2^21 (entry = id << 10)
+    big_ids = [(1 << 21) - 1, (1 << 21), (1 << 21) + 7, (1 << 22) - 1]
+    table, counts = DT.empty_table(tc)
+    L = 16
+    for k, id_ in enumerate(big_ids):
+        pairs = np.stack([np.arange(L) + 3 * k,
+                          rng.choice(1 << 10, L, replace=False)],
+                         axis=1).astype(np.int64)
+        # host mirror uses the same id via direct packing
+        ht.names.extend([None] * (id_ - len(ht.names)) + [f"t{id_}"])
+        entries = ((np.uint32(id_) << np.uint32(10))
+                   | pairs[:, 0].astype(np.uint32))
+        t, h, v = _pad_stream(pairs, L)
+        table, counts = DT.store_batch(
+            table, counts, jnp.asarray(t[None]), jnp.asarray(h[None]),
+            jnp.asarray(v[None]), jnp.asarray([id_], np.int32), tc)
+        for hh, ee in zip(pairs[:, 1], entries):
+            c = int(ht.counts[hh])
+            if c < 4:
+                ht.table[hh, c] = ee
+            ht.counts[hh] = c + 1
+    np.testing.assert_array_equal(np.asarray(table), ht.table)
+    # gather decodes the full id range (logical, not arithmetic, shift)
+    qh = np.zeros((1, 16), np.int32)
+    qt = np.zeros((1, 16), np.int32)
+    qv = np.zeros((1, 16), bool)
+    hits_h = []
+    seen = ht.table[ht.counts > 0]
+    qs = np.nonzero(ht.counts > 0)[0][:16]
+    qh[0, : len(qs)] = qs
+    qv[0, : len(qs)] = True
+    ids, dts, hv = DT.get_hits(table, counts, jnp.asarray(qt),
+                               jnp.asarray(qh), jnp.asarray(qv), tc)
+    ids = np.asarray(ids)
+    hv = np.asarray(hv)
+    got_ids = set(ids[0][hv[0]].tolist())
+    assert got_ids <= set(big_ids), got_ids
+    assert max(got_ids) >= (1 << 21), got_ids   # top-bit ids present
+    assert min(got_ids) >= 0                    # and never negative
