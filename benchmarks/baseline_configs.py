@@ -202,8 +202,9 @@ def config5(scale):
     qt = np.maximum(0, queries[0][:QB, :Q] - 3)
     qh = queries[1][:QB, :Q]
     qv = np.ones((QB, Q), bool)
-    hpi = np.full(1 << 17, hpt, np.int32)
-    mcfg = voting.MatchConfig(qt_cap=512, n_ids_cap=1 << 17)
+    ncap = 1 << max(17, (n_tracks - 1).bit_length())
+    hpi = np.full(ncap, hpt, np.int32)
+    mcfg = voting.MatchConfig(qt_cap=512, n_ids_cap=ncap)
     match = sharded.sharded_match_fn(mesh, tcfg, mcfg)
     out = match(table, counts, jnp.asarray(hpi), jnp.asarray(qt),
                 jnp.asarray(qh), jnp.asarray(qv))
