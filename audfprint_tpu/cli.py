@@ -223,12 +223,16 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
     chunks = [names[i: i + B] for i in range(0, len(names), B)]
 
     def _decode_chunk(chunk):
-        precomp = [n for n in chunk
-                   if os.path.splitext(n)[1] in (formats.PRECOMPEXT,
-                                                 formats.PRECOMPPKEXT)]
-        wavs = [n for n in chunk if n not in precomp]
-        signals = _decode_many(analyzer, wavs, args.ncores, report)
-        return precomp, wavs, signals
+        # results keep the chunk's ORIGINAL order (the reference processes
+        # files strictly in input order — id assignment and output lines
+        # must match even when precomputed and raw inputs are mixed)
+        kinds = [os.path.splitext(n)[1] in (formats.PRECOMPEXT,
+                                            formats.PRECOMPPKEXT)
+                 for n in chunk]
+        wavs = [n for n, pre in zip(chunk, kinds) if not pre]
+        signals = iter(_decode_many(analyzer, wavs, args.ncores, report))
+        return [(n, "pre", None) if pre else (n, "wav", next(signals))
+                for n, pre in zip(chunk, kinds)]
 
     # three-stage pipeline: decode chunk i+1 on a host thread while the
     # device fingerprints chunk i and the host stores chunk i-1's results
@@ -241,21 +245,20 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
         nonlocal tot_dur, n_done
         if in_flight is None:
             return
-        good, precomp, handle = in_flight
+        ordered, handle = in_flight
         with stages.time("analyze"):
-            hashes = analyzer.fingerprint_resolve(handle)
-        for (name, d), h in zip(good, hashes):
+            hashes = iter(analyzer.fingerprint_resolve(handle))
+        for name, kind, d in ordered:          # strict input order
+            if kind == "wav":
+                if d is None:
+                    continue                   # decode failed, reported
+                h = next(hashes)
+                dur = len(d) / analyzer.target_sr
+            else:
+                h = analyzer.wavfile2hashes(name)   # .afpt or .afpk
+                dur = analyzer.soundfiledur
             with stages.time("store"):
                 ht.store_vectorized(name, h)
-            dur = len(d) / analyzer.target_sr
-            tot_dur += dur
-            n_done += 1
-            report(f"ingested #{n_done}: {name} "
-                   f"({dur:.1f} s, {len(h)} hashes)")
-        for name in precomp:
-            h = analyzer.wavfile2hashes(name)   # .afpt or .afpk
-            ht.store_vectorized(name, h)
-            dur = analyzer.soundfiledur
             tot_dur += dur
             n_done += 1
             report(f"ingested #{n_done}: {name} "
@@ -263,14 +266,15 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
 
     for ci in range(len(chunks)):
         with stages.time("decode"):
-            precomp, wavs, signals = pending_decode.result()
+            ordered = pending_decode.result()
         pending_decode = (pool.submit(_decode_chunk, chunks[ci + 1])
                           if ci + 1 < len(chunks) else None)
-        good = [(n, d) for n, d in zip(wavs, signals) if d is not None]
         with stages.time("dispatch"):
-            handle = analyzer.fingerprint_async([d for _, d in good])
+            handle = analyzer.fingerprint_async(
+                [d for _, kind, d in ordered
+                 if kind == "wav" and d is not None])
         _store_inflight()
-        in_flight = (good, precomp, handle)
+        in_flight = (ordered, handle)
     _store_inflight()
     pool.shutdown(wait=False)
     return n_done, tot_dur
@@ -347,23 +351,31 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
     B = max(1, args.batchsize)
     for i in range(0, len(names), B):
         chunk = names[i: i + B]
-        precomp = [n for n in chunk
-                   if os.path.splitext(n)[1] in (formats.PRECOMPEXT,
-                                                 formats.PRECOMPPKEXT)]
-        wavs = [n for n in chunk if n not in precomp]
+        kinds = [os.path.splitext(n)[1] in (formats.PRECOMPEXT,
+                                            formats.PRECOMPPKEXT)
+                 for n in chunk]
+        wavs = [n for n, pre in zip(chunk, kinds) if not pre]
         with stages.time("decode"):
             signals = _decode_many(analyzer, wavs, args.ncores, report)
-        ok = []
         good = [(n, d) for n, d in zip(wavs, signals) if d is not None]
         if good:
             with stages.time("analyze"):
-                hashes = analyzer.samples_batch2hashes(
-                    [d for _, d in good])
-            ok += [(n, h, len(d) / analyzer.target_sr)
-                   for (n, d), h in zip(good, hashes)]
-        for name in precomp:
-            h = analyzer.wavfile2hashes(name)
-            ok.append((name, h, analyzer.soundfiledur))
+                hashes = iter(analyzer.samples_batch2hashes(
+                    [d for _, d in good]))
+            wav_res = {n: (next(hashes), len(d) / analyzer.target_sr)
+                       for n, d in good}
+        else:
+            wav_res = {}
+        # output lines follow the chunk's ORIGINAL order, precomputed
+        # inputs included (reference processes files strictly in order)
+        ok = []
+        for name, pre in zip(chunk, kinds):
+            if pre:
+                h = analyzer.wavfile2hashes(name)
+                ok.append((name, h, analyzer.soundfiledur))
+            elif name in wav_res:
+                h, dur = wav_res[name]
+                ok.append((name, h, dur))
         if not ok:
             continue
         with stages.time("match"):

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import contextlib
 import gzip
+import os
 import pickle
 import sys
 import types
@@ -183,14 +184,25 @@ class HashTable:
 
     # -- id management ------------------------------------------------------
 
+    def _invalidate_index(self) -> None:
+        self._name_index = None
+        self._index_len = -1
+
     def _index(self) -> dict:
         # name -> id dict kept alongside `names` (a bare list.index scan
-        # makes big ingests quadratic); rebuilt lazily after load/merge
+        # makes big ingests quadratic).  Duplicate names (possible after
+        # merge, as upstream) map to their FIRST id — upstream's
+        # list.index rule.  The cache is keyed on len(names) and
+        # explicitly invalidated by load()/remove(), which can change
+        # content without changing the length.
         idx = getattr(self, "_name_index", None)
-        if idx is None or len(idx) != sum(
-                1 for n in self.names if n is not None):
-            idx = {n: i for i, n in enumerate(self.names) if n is not None}
+        if idx is None or getattr(self, "_index_len", -1) != len(self.names):
+            idx = {}
+            for i, n in enumerate(self.names):
+                if n is not None and n not in idx:
+                    idx[n] = i
             self._name_index = idx
+            self._index_len = len(self.names)
         return idx
 
     def name_to_id(self, name, add_if_missing: bool = False) -> int:
@@ -204,6 +216,7 @@ class HashTable:
         self.names.append(name)
         self.hashesperid = np.append(self.hashesperid, 0)
         idx[name] = len(self.names) - 1
+        self._index_len = len(self.names)
         return len(self.names) - 1
 
     # -- store / retrieve ---------------------------------------------------
@@ -361,6 +374,7 @@ class HashTable:
             self.counts[h] = len(vals)
         self.names[id_] = None
         self.hashesperid[id_] = 0
+        self._invalidate_index()   # length unchanged; content did change
         self.dirty = True
         self.rev += 1
 
@@ -416,7 +430,12 @@ class HashTable:
             "params": self.params,
         }
         hb = json.dumps(header).encode()
-        with open(name, "wb") as f:
+        # write-to-temp + atomic rename: saving over the SAME file that
+        # backs this table's live copy-on-write memmaps (load -> add ->
+        # save cycle) must not truncate it under them (SIGBUS); the old
+        # inode stays mapped until the memmaps are dropped
+        tmp = f"{name}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
             f.write(AFDB_MAGIC)
             f.write(np.uint64(len(hb)).tobytes())
             f.write(hb)
@@ -424,6 +443,7 @@ class HashTable:
             np.ascontiguousarray(self.counts, np.int32).tofile(f)
             f.write(b"\0" * (-f.tell() % 64))
             np.ascontiguousarray(self.table, np.uint32).tofile(f)
+        os.replace(tmp, name)
 
     @staticmethod
     def _afdb_offsets(hlen: int, nbuckets: int):
@@ -486,15 +506,21 @@ class HashTable:
             "hashesperid": self.hashesperid,
             "params": self.params,
         }
-        self._name_index = None   # never persist the derived index
+        self._invalidate_index()   # never persist the derived index
         # compresslevel 4: ~12x faster than gzip's default 9 on the sparse
-        # table for ~1% larger output; the format is plain gzip either way
-        f = file_object or gzip.open(name, "wb", compresslevel=4)
+        # table for ~1% larger output; the format is plain gzip either way.
+        # Named saves go through a temp + atomic rename (crash safety, and
+        # a re-save over a file backing live .afdb memmaps must never
+        # truncate it).
+        tmp = None if file_object is not None else f"{name}.tmp.{os.getpid()}"
+        f = file_object or gzip.open(tmp, "wb", compresslevel=4)
         try:
             pickle.dump(state, f, protocol=4)
         finally:
             if file_object is None:
                 f.close()
+        if tmp is not None:
+            os.replace(tmp, name)
         self.dirty = False
         nhashes = self.totalhashes()
         nfiles = sum(1 for n in self.names if n is not None)
@@ -520,8 +546,10 @@ class HashTable:
             obj.params = {k: v for k, v in self.params.items()
                           if k != "loaded_from_upstream_version"}
             obj.dirty = False
-            with gzip.open(name, "wb", compresslevel=4) as f:
+            tmp = f"{name}.tmp.{os.getpid()}"
+            with gzip.open(tmp, "wb", compresslevel=4) as f:
                 pickle.dump(obj, f, protocol=2)   # upstream py2/py3 pickle
+            os.replace(tmp, name)
         self.dirty = False
         nhashes = self.totalhashes()
         nfiles = sum(1 for n in self.names if n is not None)
@@ -556,6 +584,9 @@ class HashTable:
         self.hashesperid = state["hashesperid"]
         self.params = state.get("params", {})
         self.dirty = False
+        # the cached name index may coincidentally match the new names
+        # list's length — always drop it on load
+        self._invalidate_index()
         self.rev = getattr(self, "rev", 0) + 1
         nhashes = self.totalhashes()
         nfiles = sum(1 for n in self.names if n is not None)

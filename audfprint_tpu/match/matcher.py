@@ -16,11 +16,7 @@ from audfprint_tpu.index import device_table as DT
 from audfprint_tpu.match import voting
 
 
-def _next_pow2(n: int, lo: int = 1) -> int:
-    v = lo
-    while v < n:
-        v *= 2
-    return v
+_next_pow2 = P.next_pow2
 
 
 class Matcher:
@@ -54,17 +50,21 @@ class Matcher:
     # -- device cache -----------------------------------------------------
 
     def _device_state(self, ht):
-        rev = (id(ht), getattr(ht, "rev", None),
-               ht.totalhashes(), len(ht.names))
-        if self._dev is None or self._dev[0] != rev:
+        # cache key: the HashTable OBJECT (held by strong reference — an
+        # id() key could alias a new table allocated at a freed table's
+        # address) plus its mutation counter
+        rev = getattr(ht, "rev", None)
+        if (self._dev is None or self._dev[0] is not ht
+                or self._dev[1] != rev):
             import jax
             table, counts, tcfg = DT.table_to_device(ht)
             ncap = _next_pow2(max(1, len(ht.names)), 256)
             hpi = np.zeros(ncap, np.int32)
             hpi[: len(ht.hashesperid)] = np.minimum(
                 ht.hashesperid, 2**31 - 1)
-            self._dev = (rev, table, counts, jax.device_put(hpi), tcfg, ncap)
-        return self._dev[1:]
+            self._dev = (ht, rev, table, counts,
+                         jax.device_put(hpi), tcfg, ncap)
+        return self._dev[2:]
 
     def invalidate(self):
         self._dev = None
@@ -79,10 +79,15 @@ class Matcher:
     mem_budget_bytes: int = 2 << 30
 
     def _voting_bytes_per_row(self, tcfg, qt_cap: int) -> int:
-        """Hist-core footprint estimate: bin-domain buffers per query row."""
+        """Hist-core footprint estimate: bin-domain buffers per query row.
+
+        exact-count materializes up to ~6 live (SD+1)-row bin-domain int32
+        arrays (hist, wmax, the EXT diff array, its cumsum, the coverage
+        view, and the selection score); approx ~3 (hist, padded smear
+        accumulator, masked-score)."""
         SD = self.search_depth
         nbins = tcfg.maxtime + qt_cap
-        n_hist = 3 if self.exact_count else 2   # hist(+wmax) / +coverage
+        n_hist = 6 if self.exact_count else 3
         per = n_hist * (SD + 1) * nbins * 4
         if self.find_time_range:
             per += (SD + 1) * qt_cap * 4

@@ -131,8 +131,6 @@ class Analyzer:
             return formats.peaks_load(filename)
         d = self.read_audio(filename)
         cfg = self.config
-        n = np.asarray(pipe.frame_count_device(
-            np.asarray([len(d)], np.int32), cfg))
         import jax.numpy as jnp
         batch = jnp.asarray(self._batch_one(d))
         # peaks per shift, merged (shift 0 only when shifts == 1)
@@ -190,10 +188,7 @@ class Analyzer:
                 # zero rows are nearly free to compute, while each distinct
                 # (rows, blen) shape is a fresh multi-minute XLA compile on
                 # this target — this keeps the shape set O(log rows_cap)
-                nrows = 1
-                while nrows < len(idxs):
-                    nrows *= 2
-                nrows = min(nrows, rows_cap)
+                nrows = min(P.next_pow2(len(idxs)), rows_cap)
                 # raw-PCM staging: int16 batches convert bit-exactly on
                 # device (ops.pipeline.fingerprint_batch), at half the
                 # H2D bytes

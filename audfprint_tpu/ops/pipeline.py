@@ -167,10 +167,8 @@ def _slice_rows(th: jax.Array, k: int):
 
 
 def _fetch_pow2(k: int, lo: int = 512) -> int:
-    v = lo
-    while v < k:
-        v *= 2
-    return v
+    from audfprint_tpu import params as P
+    return P.next_pow2(k, lo)
 
 
 def resolve_compact(th, counts) -> list:

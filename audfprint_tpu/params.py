@@ -88,6 +88,18 @@ def a_decay(density: float, n_hop: int = N_HOP) -> float:
     return (1 - 0.01 * (density * math.sqrt(n_hop / 352.8) / 35.0)) ** (1.0 / OVERSAMP)
 
 
+def next_pow2(n: int, lo: int = 1) -> int:
+    """Smallest power of two >= n, floored at `lo` (itself a power of two).
+
+    Shared by every padding/bucketing site (matcher Q/qt_cap/ncap,
+    fingerprint fetch slices, batch row padding) so the rounding policy
+    lives in one place."""
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
 def hann_window(n_fft: int = N_FFT) -> np.ndarray:
     """The reference's off-by-two hann window: np.hanning(n_fft+2)[1:-1].
 

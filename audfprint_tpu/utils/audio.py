@@ -184,8 +184,19 @@ def read_wav_batch(paths: list, sr: int | None = None,
 
     if native.get_lib() is None or not paths:
         return None
-    # worst case 1 byte/sample-frame (8-bit mono PCM)
-    max_samples = max(os.path.getsize(p) + 8 for p in paths)
+
+    def _frames(p):
+        # header-derived mono frame count (cheap: 44-byte read); fall back
+        # to the 1-byte-per-frame byte-size bound — sizing by raw BYTES as
+        # samples over-allocated the float32 batch up to 8x for stereo
+        # 16-bit sources
+        try:
+            with wave.open(p, "rb") as w:
+                return w.getnframes() + 8
+        except (wave.Error, EOFError, OSError):
+            return os.path.getsize(p) + 8
+
+    max_samples = max(_frames(p) for p in paths)
     res = native.load_wav_batch(paths, max_samples, n_threads)
     if res is None:
         return None

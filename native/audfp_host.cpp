@@ -108,6 +108,10 @@ static int read_wav_file(const char* path, float* out, int64_t max_samples,
         uint32_t sz;
         memcpy(&sz, ch + 4, 4);
         if (!memcmp(ch, "fmt ", 4)) {
+            // a PCM fmt chunk is >= 16 bytes; a smaller (malformed) one
+            // would send the bits read past the buffer.  Cap the size too
+            // (a crafted 4 GB chunk length must not drive the allocation).
+            if (sz < 16 || sz > (1u << 20)) { fclose(f); return 2; }
             std::vector<uint8_t> buf(sz);
             if (fread(buf.data(), 1, sz, f) != sz) { fclose(f); return 4; }
             memcpy(&fmt, buf.data(), 2);
@@ -116,6 +120,7 @@ static int read_wav_file(const char* path, float* out, int64_t max_samples,
             memcpy(&bits, buf.data() + 14, 2);
             have_fmt = true;
         } else if (!memcmp(ch, "data", 4)) {
+            if (sz > (1u << 30)) { fclose(f); return 2; }  // header bomb
             data.resize(sz);
             size_t got = fread(data.data(), 1, sz, f);
             data.resize(got);

@@ -110,3 +110,83 @@ def test_afdb_cli(tmp_path):
     main(["match", "-d", db, "-o", out, *small, qp])
     text = open(out).read()
     assert "Matched" in text and "track1" in text
+
+
+def test_afdb_resave_over_backing_file(tmp_path):
+    """load .afdb -> mutate -> save to the SAME path: the save must not
+    truncate the file that still backs the live copy-on-write memmaps
+    (round-2 review finding: open(name, 'wb') SIGBUSed or corrupted the
+    table).  Atomic temp+rename keeps the mapped inode intact."""
+    ht = HashTable(hashbits=10, depth=4, maxtime=256)
+    rng = np.random.default_rng(50)
+    p1 = np.stack([rng.integers(0, 256, 40),
+                   rng.integers(0, 1 << 10, 40)], axis=1)
+    ht.store_vectorized("a.wav", p1)
+    path = str(tmp_path / "db.afdb")
+    ht.save(path)
+
+    ht2 = HashTable(path)                      # memmaps back onto `path`
+    p2 = np.stack([rng.integers(0, 256, 40),
+                   rng.integers(0, 1 << 10, 40)], axis=1)
+    ht2.store_vectorized("b.wav", p2)          # dirties private pages
+    ht2.save(path)                             # re-save over backing file
+    # the still-open memmaps must remain readable (old inode alive)
+    assert int(np.asarray(ht2.counts).sum()) == 80
+    ht3 = HashTable(path)
+    assert ht3.names == ["a.wav", "b.wav"]
+    assert ht3.totalhashes() == ht2.totalhashes()
+    q = np.stack([np.zeros(40, np.int64), p1[:, 1]], axis=1)
+    np.testing.assert_array_equal(ht3.get_hits(q), ht2.get_hits(q))
+
+
+def test_load_invalidates_name_index(tmp_path):
+    """After load(), the cached name->id index must be rebuilt even when
+    the new names list has the same length (round-2 review finding: a
+    size heuristic kept the stale index, splitting a track across ids)."""
+    other = HashTable(hashbits=10, depth=4, maxtime=256)
+    rng = np.random.default_rng(51)
+    for n in ("C.wav", "D.wav"):
+        other.store_vectorized(n, np.stack(
+            [rng.integers(0, 256, 20), rng.integers(0, 1 << 10, 20)],
+            axis=1))
+    path = str(tmp_path / "other.pklz")
+    other.save(path)
+
+    ht = HashTable(hashbits=10, depth=4, maxtime=256)
+    for n in ("A.wav", "B.wav"):               # primes the index {A,B}
+        ht.store_vectorized(n, np.stack(
+            [rng.integers(0, 256, 20), rng.integers(0, 1 << 10, 20)],
+            axis=1))
+    assert ht.name_to_id("A.wav") == 0
+    ht.load(path)                              # same names-list length
+    assert ht.name_to_id("C.wav") == 0         # not appended as id 2
+    ht.store_vectorized("C.wav", np.stack(
+        [rng.integers(0, 256, 10), rng.integers(0, 1 << 10, 10)], axis=1))
+    assert ht.names == ["C.wav", "D.wav"]      # no duplicate C row
+    assert ht.hashesperid[0] == 30
+    import pytest
+    with pytest.raises(ValueError):
+        ht.name_to_id("A.wav")                 # stale entry is gone
+
+
+def test_duplicate_names_resolve_to_first_id():
+    """After a merge introduces a duplicate name, name_to_id follows
+    upstream's list.index (FIRST id), remove() removes the first id's
+    entries, and the index cache stays effective (no per-call rebuild)."""
+    rng = np.random.default_rng(52)
+    a = HashTable(hashbits=10, depth=4, maxtime=256)
+    b = HashTable(hashbits=10, depth=4, maxtime=256)
+    pa = np.stack([rng.integers(0, 256, 20),
+                   rng.integers(0, 1 << 10, 20)], axis=1)
+    pb = np.stack([rng.integers(0, 256, 20),
+                   rng.integers(0, 1 << 10, 20)], axis=1)
+    a.store_vectorized("shared.wav", pa)
+    b.store_vectorized("shared.wav", pb)
+    a.merge(b)
+    assert a.names == ["shared.wav", "shared.wav"]
+    assert a.name_to_id("shared.wav") == 0
+    idx_before = a._index()
+    assert a._index() is idx_before            # cached, not rebuilt
+    a.remove("shared.wav")                     # removes FIRST id (0)
+    assert a.names[0] is None and a.names[1] == "shared.wav"
+    assert a.name_to_id("shared.wav") == 1     # index re-resolves to id 1

@@ -263,3 +263,66 @@ def test_sonify_writes_wav(fixture_dir, tmp_path, capsys):
     import wave
     with wave.open(son) as w:
         assert w.getnframes() > 0 and w.getframerate() == 11025
+
+
+def test_mixed_precomp_wav_preserves_input_order(fixture_dir, tmp_path,
+                                                 capsys):
+    """Mixed .afpt and .wav inputs must be ingested and matched strictly
+    in input order (round-2 review finding: precomputed inputs were
+    reordered to the chunk tail, diverging id assignment and output-line
+    order from the reference)."""
+    pre = tmp_path / "pre"
+    _run(capsys, ["precompute", "-p", pre, *COMMON,
+                  fixture_dir / "track0.wav", fixture_dir / "track2.wav"])
+    afpts = sorted(str(p) for p in pre.rglob("*.afpt"))
+    assert len(afpts) == 2
+    db = tmp_path / "ordered.pklz"
+    # interleave: afpt(track0), wav(track1), afpt(track2) in ONE chunk
+    out = _run(capsys, ["new", "-d", db, *COMMON, "--batchsize", "8",
+                        afpts[0], fixture_dir / "track1.wav", afpts[1]])
+    order = [line.split(": ")[1].split(" (")[0]
+             for line in out.splitlines() if line.startswith("ingested #")]
+    assert [os.path.basename(n) for n in order] == [
+        "track0.afpt", "track1.wav", "track2.afpt"]
+    out = _run(capsys, ["list", "-d", db])
+    listed = [ln.split(" (")[0] for ln in out.splitlines()
+              if ln.endswith("hashes)")]
+    assert [os.path.basename(n) for n in listed] == [
+        "track0.afpt", "track1.wav", "track2.afpt"]
+    # match: output lines follow query input order too
+    out = _run(capsys, ["match", "-d", db, *COMMON, "--batchsize", "8",
+                        afpts[1], fixture_dir / "query.wav", afpts[0]])
+    qlines = [ln for ln in out.splitlines()
+              if ln.startswith(("Matched", "NOMATCH"))]
+    assert len(qlines) == 3
+    assert "track2.afpt" in qlines[0]
+    assert "query.wav" in qlines[1]
+    assert "track0.afpt" in qlines[2]
+
+
+def test_matcher_device_cache_not_aliased(fixture_dir, tmp_path):
+    """Two HashTables with identical shape/rev but different content must
+    not share cached device state (round-2 review finding: an id(ht) cache
+    key could alias a GC'd table's address)."""
+    from audfprint_tpu.index.hash_table import HashTable
+    from audfprint_tpu.match.matcher import Matcher
+
+    rng = np.random.default_rng(60)
+    m = Matcher(threshcount=3, search_depth=8, verbose=0)
+    q = None
+    seen = []
+    for k in range(2):
+        ht = HashTable(hashbits=10, depth=4, maxtime=256)
+        pairs = np.stack([np.arange(20),
+                          rng.choice(1 << 10, 20, replace=False)], axis=1)
+        ht.store_vectorized(f"only{k}.wav", pairs)
+        if q is None:
+            q = pairs.astype(np.int32)
+            rows = m.match_hashes(ht, q)
+            assert len(rows) == 1
+        else:
+            # same rev/shape, different content: must re-upload, so the
+            # old query cannot match in the new table
+            rows = m.match_hashes(ht, q)
+            assert len(rows) == 0, rows
+        seen.append(ht)   # keep alive; aliasing is guarded structurally
