@@ -239,7 +239,7 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
     # (the TPU-era QueueReaderThread, SURVEY §2.2; device never idles)
     pool = ThreadPoolExecutor(max_workers=1)
     pending_decode = pool.submit(_decode_chunk, chunks[0]) if chunks else None
-    in_flight = None   # (good, precomp, async handle) awaiting resolve+store
+    in_flight = None   # (ordered entries, async handle) awaiting store
 
     def _store_inflight():
         nonlocal tot_dur, n_done
@@ -255,7 +255,15 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
                 h = next(hashes)
                 dur = len(d) / analyzer.target_sr
             else:
-                h = analyzer.wavfile2hashes(name)   # .afpt or .afpk
+                try:
+                    h = analyzer.wavfile2hashes(name)   # .afpt or .afpk
+                except (OSError, ValueError) as e:
+                    # missing/corrupt precompute file: same
+                    # --continue-on-error contract as raw audio
+                    if analyzer.fail_on_error:
+                        raise
+                    report(f"Error reading {name}: {e}")
+                    continue
                 dur = analyzer.soundfiledur
             with stages.time("store"):
                 ht.store_vectorized(name, h)
@@ -371,7 +379,13 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
         ok = []
         for name, pre in zip(chunk, kinds):
             if pre:
-                h = analyzer.wavfile2hashes(name)
+                try:
+                    h = analyzer.wavfile2hashes(name)
+                except (OSError, ValueError) as e:
+                    if analyzer.fail_on_error:
+                        raise
+                    report(f"Error reading {name}: {e}")
+                    continue
                 ok.append((name, h, analyzer.soundfiledur))
             elif name in wav_res:
                 h, dur = wav_res[name]

@@ -50,19 +50,22 @@ class Matcher:
     # -- device cache -----------------------------------------------------
 
     def _device_state(self, ht):
-        # cache key: the HashTable OBJECT (held by strong reference — an
-        # id() key could alias a new table allocated at a freed table's
-        # address) plus its mutation counter
+        # cache key: a WEAK reference to the HashTable object plus its
+        # mutation counter.  Identity (not id()) prevents aliasing a new
+        # table allocated at a freed table's address — a dead weakref
+        # resolves to None, never `is` a live table — while not pinning
+        # hundreds of MB of host arrays to the cache slot
         rev = getattr(ht, "rev", None)
-        if (self._dev is None or self._dev[0] is not ht
+        if (self._dev is None or self._dev[0]() is not ht
                 or self._dev[1] != rev):
             import jax
+            import weakref
             table, counts, tcfg = DT.table_to_device(ht)
             ncap = _next_pow2(max(1, len(ht.names)), 256)
             hpi = np.zeros(ncap, np.int32)
             hpi[: len(ht.hashesperid)] = np.minimum(
                 ht.hashesperid, 2**31 - 1)
-            self._dev = (ht, rev, table, counts,
+            self._dev = (weakref.ref(ht), rev, table, counts,
                          jax.device_put(hpi), tcfg, ncap)
         return self._dev[2:]
 

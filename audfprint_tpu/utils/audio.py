@@ -186,15 +186,17 @@ def read_wav_batch(paths: list, sr: int | None = None,
         return None
 
     def _frames(p):
-        # header-derived mono frame count (cheap: 44-byte read); fall back
-        # to the 1-byte-per-frame byte-size bound — sizing by raw BYTES as
-        # samples over-allocated the float32 batch up to 8x for stereo
-        # 16-bit sources
+        # header-derived mono frame count (cheap: 44-byte read), CLAMPED
+        # to the byte-size bound: sizing by raw bytes alone over-allocated
+        # up to 8x for stereo 16-bit, while a header alone trusts a
+        # declared length (streaming encoders write 0xFFFFFFFF) that
+        # would drive a multi-GB allocation
+        size_bound = os.path.getsize(p) + 8
         try:
             with wave.open(p, "rb") as w:
-                return w.getnframes() + 8
+                return min(w.getnframes() + 8, size_bound)
         except (wave.Error, EOFError, OSError):
-            return os.path.getsize(p) + 8
+            return size_bound
 
     max_samples = max(_frames(p) for p in paths)
     res = native.load_wav_batch(paths, max_samples, n_threads)

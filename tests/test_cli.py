@@ -326,3 +326,27 @@ def test_matcher_device_cache_not_aliased(fixture_dir, tmp_path):
             rows = m.match_hashes(ht, q)
             assert len(rows) == 0, rows
         seen.append(ht)   # keep alive; aliasing is guarded structurally
+
+
+def test_continue_on_error_covers_precomp_inputs(fixture_dir, tmp_path,
+                                                 capsys):
+    """A missing or corrupt .afpt under -C is reported and skipped for
+    both add and match, like raw audio (round-2 review finding)."""
+    pre = tmp_path / "pre2"
+    _run(capsys, ["precompute", "-p", pre, *COMMON,
+                  fixture_dir / "track0.wav"])
+    afpt = str(next(pre.rglob("*.afpt")))
+    bad = str(tmp_path / "missing.afpt")
+    db = tmp_path / "cprec.pklz"
+    out = _run(capsys, ["new", "-d", db, "-C", *COMMON,
+                        afpt, bad, fixture_dir / "track1.wav"])
+    assert "Error reading" in out and "missing.afpt" in out
+    assert "Saved fprints for 2 files" in out
+    out = _run(capsys, ["match", "-d", db, "-C", *COMMON,
+                        bad, fixture_dir / "query.wav"])
+    assert "Error reading" in out
+    assert "Matched" in out and "query.wav" in out
+    # without -C the same input aborts
+    db2 = tmp_path / "cprec2.pklz"
+    with pytest.raises((OSError, ValueError)):
+        main(["new", "-d", str(db2), *COMMON, bad])
