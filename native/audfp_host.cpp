@@ -95,6 +95,9 @@ static int read_wav_file(const char* path, float* out, int64_t max_samples,
                          WavInfo* info) {
     FILE* f = fopen(path, "rb");
     if (!f) return 1;
+    fseek(f, 0, SEEK_END);
+    const int64_t fsize = ftell(f);
+    fseek(f, 0, SEEK_SET);
     uint8_t hdr[12];
     if (fread(hdr, 1, 12, f) != 12 || memcmp(hdr, "RIFF", 4) ||
         memcmp(hdr + 8, "WAVE", 4)) { fclose(f); return 2; }
@@ -120,9 +123,16 @@ static int read_wav_file(const char* path, float* out, int64_t max_samples,
             memcpy(&bits, buf.data() + 14, 2);
             have_fmt = true;
         } else if (!memcmp(ch, "data", 4)) {
-            if (sz > (1u << 30)) { fclose(f); return 2; }  // header bomb
-            data.resize(sz);
-            size_t got = fread(data.data(), 1, sz, f);
+            // clamp the declared size to the bytes actually in the file:
+            // streaming encoders write 0xFFFFFFFF, and a crafted length
+            // must never drive the allocation past the file itself
+            int64_t remaining = fsize - ftell(f);
+            if (remaining < 0) remaining = 0;
+            uint64_t szc = sz;
+            if (szc > static_cast<uint64_t>(remaining))
+                szc = static_cast<uint64_t>(remaining);
+            data.resize(szc);
+            size_t got = fread(data.data(), 1, szc, f);
             data.resize(got);
             break;
         } else {
