@@ -79,7 +79,10 @@ class Matcher:
     # as (search_depth+1) x (maxtime + qt_cap) int32 PER QUERY ROW, so long
     # queries or deep searches are handled by splitting the batch, never by
     # truncating the query (VERDICT r1: arbitrary-length query parity).
-    mem_budget_bytes: int = 2 << 30
+    # 4 GiB of a v5e's 16 GB HBM: leaves the 0.4 GB table + headroom, and
+    # keeps the default B=128/qt_cap=2048 approx batch (~2.9 GiB estimated)
+    # on a single dispatch.
+    mem_budget_bytes: int = 4 << 30
 
     def _voting_bytes_per_row(self, tcfg, qt_cap: int) -> int:
         """Hist-core footprint estimate: bin-domain buffers per query row.
