@@ -73,7 +73,9 @@ def make_parser() -> argparse.ArgumentParser:
     a("-Q", "--time-quantile", dest="time_quantile", type=float,
       default=P.TIME_QUANTILE)
     a("-T", "--sortbytime", action="store_true")
-    a("-H", "--ncores", type=int, default=1)
+    a("-H", "--ncores", type=int, default=None,
+      help="host decode threads (default: auto = 2, decode is I/O-bound; "
+           "an explicit value is honored exactly, 1 = serial)")
     a("-K", "--precompute-peaks", dest="precompute_peaks",
       action="store_true")
     a("-k", "--skip-existing", dest="skip_existing", action="store_true")
@@ -154,7 +156,14 @@ def _check_params(ht: HashTable, analyzer: Analyzer, report) -> None:
             report(f"Warning: database {k}={v} but analyzer {k}={want[k]}")
 
 
-def _decode_many(analyzer: Analyzer, names: list, ncores: int, report):
+def _decode_threads(ncores) -> int:
+    """--ncores unset -> auto (2 threads: decode is I/O-bound and benefits
+    from overlap even at the default); an explicit value is honored exactly,
+    including 1 = truly serial (ADVICE r2: users limiting host CPU)."""
+    return 2 if ncores is None else max(1, ncores)
+
+
+def _decode_many(analyzer: Analyzer, names: list, ncores, report):
     """Host-parallel decode (the QueueReaderThread/joblib analog).
 
     PCM WAVs take the native C++ threaded bulk loader when available
@@ -173,7 +182,7 @@ def _decode_many(analyzer: Analyzer, names: list, ncores: int, report):
     if wav_idx:
         fast = audio_io.read_wav_batch([names[i] for i in wav_idx],
                                        sr=analyzer.target_sr,
-                                       n_threads=max(2, ncores))
+                                       n_threads=_decode_threads(ncores))
         if fast is not None:
             for i, d in zip(wav_idx, fast):
                 if d is not None:      # native couldn't handle; fall back
@@ -191,9 +200,7 @@ def _decode_many(analyzer: Analyzer, names: list, ncores: int, report):
             return None
 
     if todo:
-        # decode is I/O-bound: give it >= 2 threads like the native
-        # loader, regardless of --ncores (which scales it further)
-        nthreads = max(2, ncores) if len(todo) > 1 else 1
+        nthreads = _decode_threads(ncores) if len(todo) > 1 else 1
         if nthreads > 1:
             with ThreadPoolExecutor(max_workers=nthreads) as ex:
                 slow = list(ex.map(_one, [names[i] for i in todo]))

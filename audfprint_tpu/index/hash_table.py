@@ -103,6 +103,31 @@ def _upstream_pickle_class():
             sys.modules["hash_table"] = prev
 
 
+@contextlib.contextmanager
+def _atomic_replace(name: str, opener=open):
+    """Write-to-temp + atomic rename, unlinking the temp when the write
+    raises so an interrupted save never leaks '{name}.tmp.{pid}' files
+    (ADVICE r2).  Yields (file object, temp path)."""
+    tmp = f"{name}.tmp.{os.getpid()}"
+    try:
+        f = opener(tmp, "wb")
+        try:
+            yield f, tmp
+        finally:
+            f.close()
+        os.replace(tmp, name)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
+
+
+def _gzip_opener(path: str, mode: str):
+    # compresslevel 4: ~12x faster than gzip's default 9 on the sparse
+    # table for ~1% larger output; the format is plain gzip either way
+    return gzip.open(path, mode, compresslevel=4)
+
+
 def _state_from_upstream(obj: "_UpstreamStub") -> dict:
     """Map an upstream HashTable instance's attributes onto the dict schema.
 
@@ -359,19 +384,31 @@ class HashTable:
         self.rev += 1
 
     def remove(self, name) -> None:
-        """Delete all entries for `name`, compacting buckets (O(table))."""
+        """Delete all entries for `name`, compacting buckets (O(table)).
+
+        Vectorized (VERDICT r2 #8): one full-table scan finds affected
+        buckets; compaction runs only on those rows via a stable per-row
+        argsort that moves kept entries to the front in slot order — the
+        same result as the per-bucket boolean-index loop (regression:
+        test_vectorized_remove_matches_loop), without O(affected buckets)
+        interpreter iterations on a 2^20-bucket table."""
         id_ = self.name_to_id(name)
-        id_arr = (self.table >> self.maxtimebits).astype(np.int64)
-        keep = id_arr != id_
-        # also treat slots beyond stored count as non-entries
-        stored = np.minimum(self.counts, self.depth)[:, None]
-        in_use = np.arange(self.depth)[None, :] < stored
-        keep &= in_use
-        for h in np.nonzero((~keep & in_use).any(axis=1))[0]:
-            vals = self.table[h][keep[h]]
-            self.table[h] = 0
-            self.table[h, : len(vals)] = vals
-            self.counts[h] = len(vals)
+        hit = (self.table >> np.uint32(self.maxtimebits)) == np.uint32(id_)
+        stored = np.minimum(self.counts, self.depth)
+        slot = np.arange(self.depth)
+        # only in-use slots count as entries
+        hit &= slot[None, :] < stored[:, None]
+        aff = np.nonzero(hit.any(axis=1))[0]
+        if len(aff):
+            sub = np.array(self.table[aff])             # (A, depth) copy
+            keep = (slot[None, :] < stored[aff, None]) & ~hit[aff]
+            # stable: kept entries keep their relative slot order
+            order = np.argsort(~keep, axis=1, kind="stable")
+            sub = np.take_along_axis(sub, order, axis=1)
+            nkeep = keep.sum(axis=1)
+            sub[slot[None, :] >= nkeep[:, None]] = 0
+            self.table[aff] = sub
+            self.counts[aff] = nkeep.astype(self.counts.dtype)
         self.names[id_] = None
         self.hashesperid[id_] = 0
         self._invalidate_index()   # length unchanged; content did change
@@ -429,13 +466,17 @@ class HashTable:
             "hashesperid": [int(x) for x in self.hashesperid],
             "params": self.params,
         }
-        hb = json.dumps(header).encode()
+        # numpy scalars (possible when params came from a foreign .pklz)
+        # aren't JSON-serializable — unwrap via .item() (ADVICE r2)
+        hb = json.dumps(
+            header,
+            default=lambda o: o.item() if hasattr(o, "item") else str(o)
+        ).encode()
         # write-to-temp + atomic rename: saving over the SAME file that
         # backs this table's live copy-on-write memmaps (load -> add ->
         # save cycle) must not truncate it under them (SIGBUS); the old
         # inode stays mapped until the memmaps are dropped
-        tmp = f"{name}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
+        with _atomic_replace(name) as (f, _tmp):
             f.write(AFDB_MAGIC)
             f.write(np.uint64(len(hb)).tobytes())
             f.write(hb)
@@ -443,7 +484,6 @@ class HashTable:
             np.ascontiguousarray(self.counts, np.int32).tofile(f)
             f.write(b"\0" * (-f.tell() % 64))
             np.ascontiguousarray(self.table, np.uint32).tofile(f)
-        os.replace(tmp, name)
 
     @staticmethod
     def _afdb_offsets(hlen: int, nbuckets: int):
@@ -507,20 +547,14 @@ class HashTable:
             "params": self.params,
         }
         self._invalidate_index()   # never persist the derived index
-        # compresslevel 4: ~12x faster than gzip's default 9 on the sparse
-        # table for ~1% larger output; the format is plain gzip either way.
         # Named saves go through a temp + atomic rename (crash safety, and
         # a re-save over a file backing live .afdb memmaps must never
         # truncate it).
-        tmp = None if file_object is not None else f"{name}.tmp.{os.getpid()}"
-        f = file_object or gzip.open(tmp, "wb", compresslevel=4)
-        try:
-            pickle.dump(state, f, protocol=4)
-        finally:
-            if file_object is None:
-                f.close()
-        if tmp is not None:
-            os.replace(tmp, name)
+        if file_object is not None:
+            pickle.dump(state, file_object, protocol=4)
+        else:
+            with _atomic_replace(name, _gzip_opener) as (f, _tmp):
+                pickle.dump(state, f, protocol=4)
         self.dirty = False
         nhashes = self.totalhashes()
         nfiles = sum(1 for n in self.names if n is not None)
@@ -546,10 +580,8 @@ class HashTable:
             obj.params = {k: v for k, v in self.params.items()
                           if k != "loaded_from_upstream_version"}
             obj.dirty = False
-            tmp = f"{name}.tmp.{os.getpid()}"
-            with gzip.open(tmp, "wb", compresslevel=4) as f:
+            with _atomic_replace(name, _gzip_opener) as (f, _tmp):
                 pickle.dump(obj, f, protocol=2)   # upstream py2/py3 pickle
-            os.replace(tmp, name)
         self.dirty = False
         nhashes = self.totalhashes()
         nfiles = sum(1 for n in self.names if n is not None)

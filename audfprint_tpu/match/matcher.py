@@ -79,10 +79,30 @@ class Matcher:
     # as (search_depth+1) x (maxtime + qt_cap) int32 PER QUERY ROW, so long
     # queries or deep searches are handled by splitting the batch, never by
     # truncating the query (VERDICT r1: arbitrary-length query parity).
-    # 4 GiB of a v5e's 16 GB HBM: leaves the 0.4 GB table + headroom, and
-    # keeps the default B=128/qt_cap=2048 approx batch (~2.9 GiB estimated)
-    # on a single dispatch.
-    mem_budget_bytes: int = 4 << 30
+    # None = derive from the backend's reported memory limit on first use
+    # (1/3 of bytes_limit leaves the table + pipeline buffers headroom; on
+    # a 16 GB v5e that is ~5.3 GiB, keeping the default B=128/qt_cap=2048
+    # approx batch (~2.9 GiB) on one dispatch).  Backends with no stats
+    # (CPU, relay) fall back to 4 GiB; set matcher.mem_budget_bytes to
+    # override on small-HBM targets (ADVICE r2).
+    mem_budget_bytes: int | None = None
+
+    def _budget_bytes(self) -> int:
+        if self.mem_budget_bytes is not None:
+            return self.mem_budget_bytes
+        cached = getattr(self, "_auto_budget", None)
+        if cached is None:
+            cached = 4 << 30
+            try:
+                import jax
+                stats = jax.devices()[0].memory_stats() or {}
+                lim = int(stats.get("bytes_limit", 0))
+                if lim > 0:
+                    cached = min(max(1 << 28, lim // 3), 8 << 30)
+            except Exception:
+                pass
+            self._auto_budget = cached
+        return cached
 
     def _voting_bytes_per_row(self, tcfg, qt_cap: int) -> int:
         """Hist-core footprint estimate: bin-domain buffers per query row.
@@ -133,12 +153,13 @@ class Matcher:
         # (O(B*H) memory, maxtime-independent) is dispatched only when even
         # a single row's hist buffers would blow the budget (very long
         # queries / deep searches, where the buffers cannot exist at all)
+        budget = self._budget_bytes()
         per_row = self._voting_bytes_per_row(tcfg, qt_cap)
         core = "hist"
-        if per_row > self.mem_budget_bytes:
+        if per_row > budget:
             core = "sorted"
             per_row = self._sorted_bytes_per_row(tcfg, Q)
-        bsub = min(B, max(1, self.mem_budget_bytes // max(1, per_row)))
+        bsub = min(B, max(1, budget // max(1, per_row)))
         if (core == "sorted" or bsub < B) and self.verbose:
             print(f"Note: using the {core} voting core, "
                   f"splitting {B} queries into sub-batches of {bsub} "

@@ -160,7 +160,11 @@ def main():
         orc_tput, _ = measure_oracle()
         out["oracle_single_core_as_per_sec"] = round(orc_tput, 1)
         out["vs_own_oracle"] = round(dev_tput / orc_tput, 2)
-    if "--all" in sys.argv or "--e2e" in sys.argv:
+    # the end-to-end CLI rate ships in the DEFAULT output (VERDICT r2 #7):
+    # `value` is the chip rate on device-staged inputs; this field is what
+    # a user of THIS environment sees through the relay tunnel — the
+    # artifact must carry both so neither can be read as the other
+    if "--no-e2e" not in sys.argv:
         e2e, stages = measure_end_to_end()
         out["end_to_end_as_per_sec"] = round(e2e, 1)
         out["end_to_end_stages_s"] = {k: round(v, 2)

@@ -231,3 +231,40 @@ def test_vectorized_merge_matches_loop(n_pairs):
     np.testing.assert_array_equal(a1.counts, a2.counts)
     assert a1.names == a2.names
     np.testing.assert_array_equal(a1.hashesperid, a2.hashesperid)
+
+
+def _remove_loop_reference(self, name):
+    """The round-2 per-bucket Python remove loop, kept as the equivalence
+    oracle for the vectorized HashTable.remove (VERDICT r2 #8)."""
+    id_ = self.name_to_id(name)
+    id_arr = (self.table >> self.maxtimebits).astype(np.int64)
+    keep = id_arr != id_
+    stored = np.minimum(self.counts, self.depth)[:, None]
+    in_use = np.arange(self.depth)[None, :] < stored
+    keep &= in_use
+    for h in np.nonzero((~keep & in_use).any(axis=1))[0]:
+        vals = self.table[h][keep[h]]
+        self.table[h] = 0
+        self.table[h, : len(vals)] = vals
+        self.counts[h] = len(vals)
+    self.names[id_] = None
+    self.hashesperid[id_] = 0
+    self._invalidate_index()
+
+
+@pytest.mark.parametrize("n_pairs", [50, 2000])   # 2000 forces overflow
+@pytest.mark.parametrize("victim", [0, 1, 2])
+def test_vectorized_remove_matches_loop(n_pairs, victim):
+    a1 = _random_table(3, 3, n_pairs)
+    a2 = HashTable(hashbits=a1.hashbits, depth=a1.depth, maxtime=a1.maxtime)
+    a2.table = a1.table.copy()
+    a2.counts = a1.counts.copy()
+    a2.names = list(a1.names)
+    a2.hashesperid = a1.hashesperid.copy()
+    name = a1.names[victim]
+    a1.remove(name)
+    _remove_loop_reference(a2, name)
+    np.testing.assert_array_equal(a1.table, a2.table)
+    np.testing.assert_array_equal(a1.counts, a2.counts)
+    assert a1.names == a2.names
+    np.testing.assert_array_equal(a1.hashesperid, a2.hashesperid)
