@@ -91,6 +91,10 @@ def make_parser() -> argparse.ArgumentParser:
     a("-v", "--verbose", type=int, default=1)
     a("--batchsize", type=int, default=16,
       help="files analyzed per device batch (TPU-native knob)")
+    a("--ndev", type=int, default=None,
+      help="devices for table-sharded store/match (default: all local "
+           "devices; 1 = single-device). Results are bit-identical at "
+           "any value")
     a("--profile", type=str, default=None,
       help="write a jax.profiler trace to this directory")
     a("--json-metrics", dest="json_metrics", type=str, default=None,
@@ -120,7 +124,10 @@ def setup_matcher(args) -> Matcher:
                    verbose=args.verbose,
                    illustrate=args.illustrate,
                    illustrate_hpf=args.illustrate_hpf,
-                   sonify=args.sonify)
+                   sonify=args.sonify,
+                   # unset --ndev = auto (all local devices): a user on an
+                   # 8-chip host gets sharded matching without any flag
+                   ndev=args.ndev if args.ndev is not None else 0)
 
 
 def filename_list_iterator(filelist, wavdir: str, wavext: str,
@@ -211,12 +218,30 @@ def _decode_many(analyzer: Analyzer, names: list, ncores, report):
     return [results[i] for i in range(len(names))]
 
 
+def _ingest_device_store(ht: HashTable, args, report):
+    """Sharded device store for new/add when >1 device is available
+    (VERDICT r2 #1): chunk hash streams run the deterministic device
+    reservoir bucket-sharded over the mesh — bit-identical to the host
+    store — and the result is downloaded into the host table at the end.
+    Returns None (= host store) on a single device or indivisible table."""
+    from audfprint_tpu.parallel import sharded
+    ndev = sharded.resolve_ndev(args.ndev)
+    if ndev <= 1:
+        return None
+    try:
+        return sharded.ShardedStore(ht, sharded.make_mesh(ndev))
+    except ValueError as e:
+        report(f"Note: {e}; using host store")
+        return None
+
+
 def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
               report, stages: Stages | None = None) -> tuple[int, float]:
     """Batched analyze + store; returns (n_files, total_dur)."""
     stages = stages or Stages()
     tot_dur = 0.0
     n_done = 0
+    store = _ingest_device_store(ht, args, report)
     if args.skip_existing:
         # idempotent ingest: a killed batch job can simply rerun (SURVEY §5
         # failure-detection row; extends the reference's precompute-only
@@ -255,6 +280,7 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
         ordered, handle = in_flight
         with stages.time("analyze"):
             hashes = iter(analyzer.fingerprint_resolve(handle))
+        chunk_pairs = []
         for name, kind, d in ordered:          # strict input order
             if kind == "wav":
                 if d is None:
@@ -272,12 +298,19 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
                     report(f"Error reading {name}: {e}")
                     continue
                 dur = analyzer.soundfiledur
-            with stages.time("store"):
-                ht.store_vectorized(name, h)
+            if store is not None:
+                chunk_pairs.append((name, h))
+            else:
+                with stages.time("store"):
+                    ht.store_vectorized(name, h)
             tot_dur += dur
             n_done += 1
             report(f"ingested #{n_done}: {name} "
                    f"({dur:.1f} s, {len(h)} hashes)")
+        if store is not None and chunk_pairs:
+            # one sharded dispatch per chunk; file order == input order
+            with stages.time("store"):
+                store.store_chunk(chunk_pairs)
 
     for ci in range(len(chunks)):
         with stages.time("decode"):
@@ -291,6 +324,9 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
         _store_inflight()
         in_flight = (ordered, handle)
     _store_inflight()
+    if store is not None:
+        with stages.time("store"):
+            store.finalize()
     pool.shutdown(wait=False)
     return n_done, tot_dur
 
@@ -359,46 +395,57 @@ def do_precompute(analyzer: Analyzer, names: list, args,
 def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
              names: list, args, report,
              stages: Stages | None = None) -> tuple[int, float]:
-    """Batched query matching."""
+    """Batched query matching with decode/compute overlap (VERDICT r2 #4):
+    chunk i+1 decodes on a host thread while the device analyzes and
+    matches chunk i — do_ingest's pipeline applied to the query path, so
+    the device never idles during query decode.  Output lines still follow
+    the strict input order (reference contract)."""
     stages = stages or Stages()
     tot_dur = 0.0
     n_done = 0
     B = max(1, args.batchsize)
-    for i in range(0, len(names), B):
-        chunk = names[i: i + B]
+    chunks = [names[i: i + B] for i in range(0, len(names), B)]
+
+    def _decode_chunk(chunk):
         kinds = [os.path.splitext(n)[1] in (formats.PRECOMPEXT,
                                             formats.PRECOMPPKEXT)
                  for n in chunk]
         wavs = [n for n, pre in zip(chunk, kinds) if not pre]
-        with stages.time("decode"):
-            signals = _decode_many(analyzer, wavs, args.ncores, report)
-        good = [(n, d) for n, d in zip(wavs, signals) if d is not None]
-        if good:
-            with stages.time("analyze"):
-                hashes = iter(analyzer.samples_batch2hashes(
-                    [d for _, d in good]))
-            wav_res = {n: (next(hashes), len(d) / analyzer.target_sr)
-                       for n, d in good}
-        else:
-            wav_res = {}
-        # output lines follow the chunk's ORIGINAL order, precomputed
-        # inputs included (reference processes files strictly in order)
+        signals = iter(_decode_many(analyzer, wavs, args.ncores, report))
+        return [(n, "pre", None) if pre else (n, "wav", next(signals))
+                for n, pre in zip(chunk, kinds)]
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending_decode = pool.submit(_decode_chunk, chunks[0]) if chunks else None
+    in_flight = None   # (ordered entries, async handle) awaiting match
+
+    def _match_inflight():
+        nonlocal tot_dur, n_done
+        if in_flight is None:
+            return
+        ordered, handle = in_flight
+        with stages.time("analyze"):
+            hashes = iter(analyzer.fingerprint_resolve(handle))
+        # collect (name, hashes, dur) in the chunk's ORIGINAL order,
+        # precomputed inputs included
         ok = []
-        for name, pre in zip(chunk, kinds):
-            if pre:
+        for name, kind, d in ordered:
+            if kind == "wav":
+                if d is None:
+                    continue                   # decode failed, reported
+                ok.append((name, next(hashes),
+                           len(d) / analyzer.target_sr))
+            else:
                 try:
-                    h = analyzer.wavfile2hashes(name)
+                    h = analyzer.wavfile2hashes(name)   # .afpt or .afpk
                 except (OSError, ValueError) as e:
                     if analyzer.fail_on_error:
                         raise
                     report(f"Error reading {name}: {e}")
                     continue
                 ok.append((name, h, analyzer.soundfiledur))
-            elif name in wav_res:
-                h, dur = wav_res[name]
-                ok.append((name, h, dur))
         if not ok:
-            continue
+            return
         with stages.time("match"):
             results = matcher.match_hashes_batch(ht, [h for _, h, _ in ok])
         for (name, h, dur), rows in zip(ok, results):
@@ -407,6 +454,20 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
                 report(msg)
             tot_dur += dur
             n_done += 1
+
+    for ci in range(len(chunks)):
+        with stages.time("decode"):
+            ordered = pending_decode.result()
+        pending_decode = (pool.submit(_decode_chunk, chunks[ci + 1])
+                          if ci + 1 < len(chunks) else None)
+        with stages.time("dispatch"):
+            handle = analyzer.fingerprint_async(
+                [d for _, kind, d in ordered
+                 if kind == "wav" and d is not None])
+        _match_inflight()
+        in_flight = (ordered, handle)
+    _match_inflight()
+    pool.shutdown(wait=False)
     return n_done, tot_dur
 
 

