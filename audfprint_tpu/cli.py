@@ -95,6 +95,11 @@ def make_parser() -> argparse.ArgumentParser:
       help="devices for table-sharded store/match (default: all local "
            "devices; 1 = single-device). Results are bit-identical at "
            "any value")
+    a("--idbits", type=int, default=0,
+      help="track-id bits of the entry packing (0 = the reference's "
+           "32 - maxtimebits). idbits + maxtimebits > 32 switches to "
+           "wide 64-bit entries: capacity beyond the reference's 2^18 "
+           "tracks / mod-16384 time cap")
     a("--profile", type=str, default=None,
       help="write a jax.profiler trace to this directory")
     a("--json-metrics", dest="json_metrics", type=str, default=None,
@@ -151,7 +156,7 @@ def _new_table(args) -> HashTable:
     maxtime = ((1 << maxtimebits) if maxtimebits is not None
                else args.maxtime)
     return HashTable(hashbits=args.hashbits, depth=args.bucketsize,
-                     maxtime=maxtime)
+                     maxtime=maxtime, idbits=args.idbits)
 
 
 def _check_params(ht: HashTable, analyzer: Analyzer, report) -> None:

@@ -37,6 +37,14 @@ class TableConfig(NamedTuple):
     depth: int = P.TABLE_DEPTH
     maxtimebits: int = 14
     seed: int = 0
+    # id bits of the entry packing.  Default = what fits beside the time
+    # field in a uint32 (the reference's packing, SURVEY §2.3.4).  Raising
+    # it past that (VERDICT r2 #6: the uint32 cap is to be "honored or
+    # consciously raised") switches to WIDE entries: uint64 on host, split
+    # (lo, hi) uint32 planes on device — table shape (nb, depth, 2) —
+    # since TPUs have no native 64-bit lanes.  maxtimebits <= 31 and
+    # idbits <= 31 (ids stay int32 in voting).
+    idbits: int = 0          # 0 = derive as 32 - maxtimebits (packed)
 
     @property
     def maxtime(self) -> int:
@@ -45,6 +53,14 @@ class TableConfig(NamedTuple):
     @property
     def n_buckets(self) -> int:
         return 1 << self.hashbits
+
+    @property
+    def idbits_eff(self) -> int:
+        return self.idbits or (32 - self.maxtimebits)
+
+    @property
+    def wide(self) -> bool:
+        return self.idbits_eff + self.maxtimebits > 32
 
 
 def _mix32(x: jax.Array) -> jax.Array:
@@ -66,7 +82,9 @@ def reservoir_slot_device(bucket: jax.Array, position: jax.Array,
 
 
 def empty_table(cfg: TableConfig):
-    table = jnp.zeros((cfg.n_buckets, cfg.depth), jnp.uint32)
+    shape = ((cfg.n_buckets, cfg.depth, 2) if cfg.wide
+             else (cfg.n_buckets, cfg.depth))
+    table = jnp.zeros(shape, jnp.uint32)
     counts = jnp.zeros((cfg.n_buckets,), jnp.int32)
     return table, counts
 
@@ -93,32 +111,50 @@ def store_batch_local(table: jax.Array, counts: jax.Array,
     B, L = hashes.shape
     timemask = cfg.maxtime - 1
     t = (times & timemask).reshape(-1)
-    entry = ((ids[:, None].astype(jnp.uint32) << cfg.maxtimebits)
-             | jnp.zeros((B, L), jnp.uint32)).reshape(-1) | t.astype(jnp.uint32)
+    u = jnp.broadcast_to(ids[:, None].astype(jnp.uint32),
+                         (B, L)).reshape(-1)
+    entry = (u << cfg.maxtimebits) | t.astype(jnp.uint32)
+    if cfg.wide:
+        # logical entry64 = (id << mtb) | t split into uint32 planes:
+        # lo carries t plus the id bits that fit; hi the id overflow
+        entry = jnp.stack([entry, u >> (32 - cfg.maxtimebits)], axis=-1)
     return store_packed_local(table, counts, hashes.reshape(-1),
                               entry, valid.reshape(-1), cfg, bucket_lo)
 
 
 def store_packed_local(table: jax.Array, counts: jax.Array,
-                       hashes: jax.Array, entry: jax.Array, valid: jax.Array,
+                       hashes: jax.Array, entry, valid: jax.Array,
                        cfg: TableConfig, bucket_lo: jax.Array | int = 0):
     """Insert pre-packed entries (= (id << maxtimebits) | t) — used both by
     store_batch_local and by merge-as-resharding (replaying another table's
-    stored entries, the reference's merge, hash_table.py:~340-400)."""
+    stored entries, the reference's merge, hash_table.py:~340-400).
+
+    `entry`: (n,) uint32 array (packed tables) or (n, 2) uint32 (lo, hi)
+    planes (wide tables, cfg.wide) — the extra plane rides the two sorts
+    as one more payload operand and lands in the table's trailing axis."""
     n_local = table.shape[0]
     hashmask = (1 << cfg.hashbits) - 1
 
     h = (hashes & hashmask) - jnp.asarray(bucket_lo, jnp.int32)
     v = valid & (h >= 0) & (h < n_local)
-    es_in = entry.astype(jnp.uint32)
+    if cfg.wide:
+        es_in = entry[..., 0].astype(jnp.uint32)
+        eh_in = entry[..., 1].astype(jnp.uint32)
+    else:
+        es_in = entry.astype(jnp.uint32)
+        eh_in = None
     n = h.shape[0]
 
     # invalid rows -> bucket sentinel past the real buckets so they sort last
     # and never write (we allocate one scratch bucket row for them).
     hkey = jnp.where(v, h, n_local)
     order = jnp.arange(n, dtype=jnp.int32)
-    hs, es, ords = jax.lax.sort((hkey, es_in, order), num_keys=1,
-                                is_stable=True)
+    if cfg.wide:
+        hs, es, eh, ords = jax.lax.sort((hkey, es_in, eh_in, order),
+                                        num_keys=1, is_stable=True)
+    else:
+        hs, es, ords = jax.lax.sort((hkey, es_in, order), num_keys=1,
+                                    is_stable=True)
     first = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
     idx = jnp.arange(n, dtype=jnp.int32)
     run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
@@ -134,7 +170,11 @@ def store_packed_local(table: jax.Array, counts: jax.Array,
     # last-wins on (bucket, slot): sort by (bucket, slot, ord) and keep the
     # row whose successor differs (sequential-store semantics).
     skey = jnp.where(write, slot, cfg.depth)
-    hs2, sk2, _ord2, es2 = jax.lax.sort((hs, skey, ords, es), num_keys=3)
+    if cfg.wide:
+        hs2, sk2, _ord2, es2, eh2 = jax.lax.sort(
+            (hs, skey, ords, es, eh), num_keys=3)
+    else:
+        hs2, sk2, _ord2, es2 = jax.lax.sort((hs, skey, ords, es), num_keys=3)
     last = jnp.concatenate(
         [(hs2[1:] != hs2[:-1]) | (sk2[1:] != sk2[:-1]), jnp.ones((1,), bool)])
     do = last & (sk2 < cfg.depth) & (hs2 < n_local)
@@ -143,7 +183,11 @@ def store_packed_local(table: jax.Array, counts: jax.Array,
     # a live slot's old value races with genuine writes to it)
     bidx = jnp.where(do, hs2, n_local)
     sidx = jnp.where(do, sk2, 0)
-    table = table.at[bidx, sidx].set(es2, mode="drop")
+    if cfg.wide:
+        table = table.at[bidx, sidx].set(
+            jnp.stack([es2, eh2], axis=-1), mode="drop")
+    else:
+        table = table.at[bidx, sidx].set(es2, mode="drop")
     counts = counts.at[jnp.minimum(hs, n_local - 1)].add(
         jnp.where(hs < n_local, 1, 0))
     return table, counts
@@ -171,7 +215,7 @@ def get_hits_local(table: jax.Array, counts: jax.Array,
     qh = (qhashes & hashmask) - jnp.asarray(bucket_lo, jnp.int32)
     own = (qh >= 0) & (qh < n_local)
     qh = jnp.clip(qh, 0, n_local - 1)
-    tab = table[qh]                                        # (B,Q,depth) u32
+    tab = table[qh]                           # (B,Q,depth[,2]) u32
     nids = jnp.minimum(cfg.depth, counts[qh])              # (B,Q)
     slotidx = jnp.arange(cfg.depth, dtype=jnp.int32)
     hvalid = ((slotidx[None, None, :] < nids[:, :, None])
@@ -179,8 +223,16 @@ def get_hits_local(table: jax.Array, counts: jax.Array,
     # decode in uint32 (logical shift): an int32 cast before the shift
     # sign-extends entries with the top bit set, corrupting ids >= 2^17
     # at default maxtimebits=14 — half the packing's 2^18 id capacity
-    ids = (tab >> cfg.maxtimebits).astype(jnp.int32)
-    dts = (tab & jnp.uint32(timemask)).astype(jnp.int32) - qtimes[:, :, None]
+    if cfg.wide:
+        lo, hi = tab[..., 0], tab[..., 1]
+        ids = ((lo >> cfg.maxtimebits)
+               | (hi << (32 - cfg.maxtimebits))).astype(jnp.int32)
+        dts = ((lo & jnp.uint32(timemask)).astype(jnp.int32)
+               - qtimes[:, :, None])
+    else:
+        ids = (tab >> cfg.maxtimebits).astype(jnp.int32)
+        dts = ((tab & jnp.uint32(timemask)).astype(jnp.int32)
+               - qtimes[:, :, None])
     return ids, dts, hvalid
 
 
@@ -192,15 +244,39 @@ def get_hits(table: jax.Array, counts: jax.Array,
     return get_hits_local(table, counts, qtimes, qhashes, qvalid, cfg, 0)
 
 
+def config_for(ht) -> TableConfig:
+    return TableConfig(hashbits=ht.hashbits, depth=ht.depth,
+                      maxtimebits=ht.maxtimebits, seed=ht.seed,
+                      idbits=getattr(ht, "idbits", 0))
+
+
+def split_wide(table_u64: np.ndarray) -> np.ndarray:
+    """Host uint64 entries -> device (nb, depth, 2) uint32 (lo, hi) planes."""
+    return np.stack([(table_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                     (table_u64 >> np.uint64(32)).astype(np.uint32)],
+                    axis=-1)
+
+
+def join_wide(table_planes: np.ndarray) -> np.ndarray:
+    """Device (nb, depth, 2) uint32 planes -> host uint64 entries."""
+    t = np.asarray(table_planes)
+    return (t[..., 0].astype(np.uint64)
+            | (t[..., 1].astype(np.uint64) << np.uint64(32)))
+
+
 def table_to_device(ht) -> tuple[jax.Array, jax.Array, TableConfig]:
-    """Upload a host HashTable's arrays (zero-copy semantics via device_put)."""
-    cfg = TableConfig(hashbits=ht.hashbits, depth=ht.depth,
-                      maxtimebits=ht.maxtimebits, seed=ht.seed)
-    return jax.device_put(ht.table), jax.device_put(ht.counts), cfg
+    """Upload a host HashTable's arrays (zero-copy semantics via device_put).
+
+    Wide host tables (uint64 entries) split into (lo, hi) uint32 planes —
+    TPUs have no native 64-bit lanes."""
+    cfg = config_for(ht)
+    host = split_wide(ht.table) if cfg.wide else ht.table
+    return jax.device_put(host), jax.device_put(ht.counts), cfg
 
 
 def table_to_host(table: jax.Array, counts: jax.Array, ht) -> None:
     """Download device state into a host HashTable (names managed by caller)."""
-    ht.table = np.asarray(table)
+    wide = table.ndim == 3
+    ht.table = join_wide(table) if wide else np.asarray(table)
     ht.counts = np.asarray(counts)
     ht.dirty = True

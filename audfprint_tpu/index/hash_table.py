@@ -188,7 +188,8 @@ class HashTable:
                  hashbits: int = P.TABLE_HASHBITS,
                  depth: int = P.TABLE_DEPTH,
                  maxtime: int = P.TABLE_MAXTIME,
-                 seed: int = 0):
+                 seed: int = 0,
+                 idbits: int = 0):
         if filename is not None:
             self.load(filename)
             return
@@ -198,7 +199,19 @@ class HashTable:
         self.maxtime = maxtime
         self.maxtimebits = int(np.log2(maxtime))
         self.seed = seed
-        self.table = np.zeros((1 << hashbits, depth), dtype=np.uint32)
+        # idbits = 0 (default): the reference's packed uint32 entries,
+        # id capacity 2^(32 - maxtimebits).  An explicit idbits with
+        # idbits + maxtimebits > 32 switches to WIDE entries (uint64 host,
+        # split uint32 planes on device) — VERDICT r2 #6: capacity beyond
+        # the reference's 2^18-track / mod-16384 packing cap.  Both fields
+        # are capped at 31 bits (ids stay int32 in the voting core).
+        if idbits and (idbits > 31 or self.maxtimebits > 31):
+            raise ValueError("idbits and maxtimebits must each be <= 31")
+        if not idbits and self.maxtimebits > 31:
+            raise ValueError("maxtimebits must be <= 31")
+        self.idbits = int(idbits)
+        dtype = np.uint64 if self.wide else np.uint32
+        self.table = np.zeros((1 << hashbits, depth), dtype=dtype)
         self.counts = np.zeros(1 << hashbits, dtype=np.int32)
         self.names: list = []
         self.hashesperid = np.zeros(0, dtype=np.int64)
@@ -206,6 +219,23 @@ class HashTable:
         self.ht_version = HT_VERSION
         self.dirty = False
         self.rev = 0          # bumped on every mutation (device-cache key)
+
+    # -- packing ------------------------------------------------------------
+
+    @property
+    def idbits_eff(self) -> int:
+        return self.idbits or (32 - self.maxtimebits)
+
+    @property
+    def wide(self) -> bool:
+        return self.idbits_eff + self.maxtimebits > 32
+
+    def _check_id_capacity(self, id_: int) -> None:
+        if id_ >= (1 << self.idbits_eff):
+            raise ValueError(
+                f"track id {id_} exceeds the table's {self.idbits_eff}-bit "
+                f"id capacity; rebuild with a larger --idbits (wide "
+                f"entries) to store more tracks")
 
     # -- id management ------------------------------------------------------
 
@@ -249,6 +279,7 @@ class HashTable:
     def store(self, name, timehashpairs) -> None:
         """Sequential reference-faithful store (hash_table.py:~120-180)."""
         id_ = self.name_to_id(name, add_if_missing=True)
+        self._check_id_capacity(id_)
         hashmask = (1 << self.hashbits) - 1
         timemask = self.maxtime - 1
         idval = id_ << self.maxtimebits
@@ -276,6 +307,7 @@ class HashTable:
         algorithm the on-device store kernel uses (SURVEY §7 layer 3).
         """
         id_ = self.name_to_id(name, add_if_missing=True)
+        self._check_id_capacity(id_)
         pairs = np.asarray(timehashpairs, dtype=np.int64).reshape(-1, 2)
         n = len(pairs)
         if n == 0:
@@ -287,7 +319,7 @@ class HashTable:
         timemask = self.maxtime - 1
         h = pairs[:, 1] & hashmask
         t = pairs[:, 0] & timemask
-        entry = ((id_ << self.maxtimebits) | t).astype(np.uint32)
+        entry = ((id_ << self.maxtimebits) | t).astype(self.table.dtype)
         # stable sort by bucket keeps arrival order within a bucket
         order = np.argsort(h, kind="stable")
         hs, es = h[order], entry[order]
@@ -352,13 +384,16 @@ class HashTable:
         counts are set to the combined true insertion pressure.
         """
         if (other.hashbits != self.hashbits or other.depth != self.depth
-                or other.maxtime != self.maxtime):
+                or other.maxtime != self.maxtime
+                or other.idbits_eff != self.idbits_eff):
             raise ValueError("hash table parameter mismatch in merge")
         self._check_params_compat(other.params)
         idoffset = len(self.names)
+        if len(other.names):
+            self._check_id_capacity(idoffset + len(other.names) - 1)
         self.names.extend(other.names)
         self.hashesperid = np.concatenate([self.hashesperid, other.hashesperid])
-        idoffsetval = np.uint32(idoffset << self.maxtimebits)
+        idoffsetval = self.table.dtype.type(idoffset << self.maxtimebits)
         # Vectorized replay of other's stored entries in (bucket, slot) order
         # — the same sort/rank/scatter formulation as store_vectorized, O(N
         # entries) instead of a Python loop over nonzero buckets.  Sequential
@@ -368,7 +403,7 @@ class HashTable:
         # assignment does for index-ordered duplicates.
         hs, ranks, es = _stored_entry_streams(other)
         if len(hs):
-            es = (es + idoffsetval).astype(np.uint32)
+            es = (es + idoffsetval).astype(self.table.dtype)
             pos = self.counts[hs].astype(np.int64) + ranks
             slot = np.where(
                 pos < self.depth, pos,
@@ -393,7 +428,8 @@ class HashTable:
         test_vectorized_remove_matches_loop), without O(affected buckets)
         interpreter iterations on a 2^20-bucket table."""
         id_ = self.name_to_id(name)
-        hit = (self.table >> np.uint32(self.maxtimebits)) == np.uint32(id_)
+        dt = self.table.dtype.type
+        hit = (self.table >> dt(self.maxtimebits)) == dt(id_)
         stored = np.minimum(self.counts, self.depth)
         slot = np.arange(self.depth)
         # only in-use slots count as entries
@@ -462,6 +498,7 @@ class HashTable:
             "depth": self.depth,
             "maxtime": self.maxtime,
             "seed": self.seed,
+            "idbits": self.idbits,
             "names": self.names,
             "hashesperid": [int(x) for x in self.hashesperid],
             "params": self.params,
@@ -483,7 +520,7 @@ class HashTable:
             f.write(b"\0" * (-f.tell() % 64))
             np.ascontiguousarray(self.counts, np.int32).tofile(f)
             f.write(b"\0" * (-f.tell() % 64))
-            np.ascontiguousarray(self.table, np.uint32).tofile(f)
+            np.ascontiguousarray(self.table, self.table.dtype).tofile(f)
 
     @staticmethod
     def _afdb_offsets(hlen: int, nbuckets: int):
@@ -506,7 +543,10 @@ class HashTable:
         # the file; mutations (store/merge/remove) dirty private pages
         counts = np.memmap(name, np.int32, mode="c",
                            offset=off_counts, shape=(nb,))
-        table = np.memmap(name, np.uint32, mode="c",
+        idbits = int(header.get("idbits", 0))
+        mtb = int(np.log2(header["maxtime"]))
+        wide = (idbits or (32 - mtb)) + mtb > 32
+        table = np.memmap(name, np.uint64 if wide else np.uint32, mode="c",
                           offset=off_table,
                           shape=(nb, header["depth"]))
         return {
@@ -515,6 +555,7 @@ class HashTable:
             "depth": header["depth"],
             "maxtime": header["maxtime"],
             "seed": header.get("seed", 0),
+            "idbits": idbits,
             "table": table,
             "counts": counts,
             "names": header["names"],
@@ -540,6 +581,7 @@ class HashTable:
             "depth": self.depth,
             "maxtime": self.maxtime,
             "seed": self.seed,
+            "idbits": self.idbits,
             "table": self.table,
             "counts": self.counts,
             "names": self.names,
@@ -564,6 +606,10 @@ class HashTable:
         """Write an upstream-audfprint-compatible `.pklz`: a gzip pickle of a
         `hash_table.HashTable` class instance with upstream's attribute
         layout (hash_table.py:~250-330), loadable by the reference tool."""
+        if self.wide:
+            raise ValueError(
+                "wide-entry tables (idbits + maxtimebits > 32) cannot be "
+                "exported to the upstream uint32 .pklz format")
         if params:
             self.params.update(params)
         with _upstream_pickle_class() as cls:
@@ -610,6 +656,7 @@ class HashTable:
         self.maxtime = state["maxtime"]
         self.maxtimebits = int(np.log2(self.maxtime))
         self.seed = state.get("seed", 0)
+        self.idbits = int(state.get("idbits", 0))
         self.table = state["table"]
         self.counts = state["counts"]
         self.names = state["names"]

@@ -89,11 +89,10 @@ class Matcher:
 
                 from audfprint_tpu.parallel import sharded
                 mesh = sharded.make_mesh(ndev)
-                tcfg = DT.TableConfig(
-                    hashbits=ht.hashbits, depth=ht.depth,
-                    maxtimebits=ht.maxtimebits, seed=ht.seed)
-                table, counts = sharded.shard_table(mesh, ht.table,
-                                                    ht.counts)
+                tcfg = DT.config_for(ht)
+                host = (DT.split_wide(ht.table) if tcfg.wide
+                        else ht.table)
+                table, counts = sharded.shard_table(mesh, host, ht.counts)
                 hpi_dev = jax.device_put(
                     hpi, NamedSharding(mesh, PS()))
             else:

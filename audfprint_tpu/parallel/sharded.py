@@ -161,13 +161,13 @@ class ShardedStore:
     def __init__(self, ht, mesh: Mesh):
         self.ht = ht
         self.mesh = mesh
-        self.cfg = DT.TableConfig(hashbits=ht.hashbits, depth=ht.depth,
-                                  maxtimebits=ht.maxtimebits, seed=ht.seed)
+        self.cfg = DT.config_for(ht)
         if self.cfg.n_buckets % mesh.devices.size != 0:
             raise ValueError(
                 f"hashbits={ht.hashbits} table not divisible over "
                 f"{mesh.devices.size} devices")
-        self.table, self.counts = shard_table(mesh, ht.table, ht.counts)
+        host = DT.split_wide(ht.table) if self.cfg.wide else ht.table
+        self.table, self.counts = shard_table(mesh, host, ht.counts)
         self._store = sharded_store_fn(mesh, self.cfg)
 
     def store_chunk(self, names_hashes: list) -> None:
@@ -190,6 +190,7 @@ class ShardedStore:
         for b, (name, h) in enumerate(names_hashes):
             h = np.asarray(h).reshape(-1, 2)
             id_ = self.ht.name_to_id(name, add_if_missing=True)
+            self.ht._check_id_capacity(id_)
             self.ht.hashesperid[id_] += len(h)
             ids[b] = id_
             tt[b, : len(h)] = h[:, 0]
@@ -201,7 +202,8 @@ class ShardedStore:
 
     def finalize(self) -> None:
         """Download device state into the host table (one gather)."""
-        self.ht.table = np.asarray(self.table)
+        self.ht.table = (DT.join_wide(self.table) if self.cfg.wide
+                         else np.asarray(self.table))
         self.ht.counts = np.asarray(self.counts)
         self.ht.dirty = True
         self.ht.rev += 1
@@ -240,11 +242,19 @@ def sharded_merge_fn(mesh: Mesh, cfg: DT.TableConfig):
 def entry_streams(ht, id_offset: int = 0):
     """Host HashTable -> flat (hashes, entries, valid) replay streams in
     bucket-major, slot order (== the reference merge's replay order).
-    Vectorized O(total entries) — shared with HashTable.merge."""
+    Vectorized O(total entries) — shared with HashTable.merge.  Wide
+    tables return (N, 2) uint32 (lo, hi) entry planes (the device store's
+    wide convention)."""
     from audfprint_tpu.index.hash_table import _stored_entry_streams
 
     hs, _ranks, es = _stored_entry_streams(ht)
-    es = (es + np.uint32(id_offset << ht.maxtimebits)).astype(np.uint32)
+    if getattr(ht, "wide", False):
+        e64 = (es.astype(np.uint64)
+               + np.uint64(id_offset << ht.maxtimebits))
+        es = np.stack([(e64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                       (e64 >> np.uint64(32)).astype(np.uint32)], axis=-1)
+    else:
+        es = (es + np.uint32(id_offset << ht.maxtimebits)).astype(np.uint32)
     return hs.astype(np.int32), es, np.ones(len(hs), bool)
 
 

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--batches", type=int, default=(32, 64, 128), nargs="+")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--exact", action="store_true")
+    ap.add_argument("--ndev", type=int, default=1,
+                    help="table-sharded matching over this many devices "
+                         "(0 = all local devices)")
     args = ap.parse_args()
 
     import audfprint_tpu.utils.jaxconfig as jc
@@ -47,7 +50,7 @@ def main():
         ht.store_vectorized(f"t{i}", h)
         streams.append(h)
 
-    m = Matcher(exact_count=args.exact, verbose=0)
+    m = Matcher(exact_count=args.exact, verbose=0, ndev=args.ndev)
     for B in args.batches:
         queries = []
         for b in range(B):
@@ -67,7 +70,7 @@ def main():
             m.match_hashes_batch(ht, shifted)
             best = min(best, time.time() - t0)
         print(json.dumps({
-            "B": B, "exact": bool(args.exact),
+            "B": B, "exact": bool(args.exact), "ndev": args.ndev,
             "tracks": args.tracks,
             "total_hashes": int(ht.totalhashes()),
             "top1_self": round(float(top1), 3),
