@@ -45,6 +45,23 @@ def process_local_batch_slice(global_batch: int) -> slice:
     return slice(i * per, (i + 1) * per)
 
 
+def allgather_host_batch(local_rows: np.ndarray) -> np.ndarray:
+    """Assemble the replicated global batch from per-process local slices.
+
+    The multi-host ingest/match pattern: each host decodes its OWN files
+    (its process_local_batch_slice of the input list), then the hash/query
+    streams are allgathered across processes — the sharded store and match
+    consume replicated streams, so this one collective is the only
+    host-boundary data movement on the input side.  Single-process: the
+    identity."""
+    if jax.process_count() == 1:
+        return np.asarray(local_rows)
+    from jax.experimental import multihost_utils
+
+    out = np.asarray(multihost_utils.process_allgather(local_rows))
+    return out.reshape((-1,) + np.shape(local_rows)[1:])
+
+
 def empty_sharded_table(mesh: Mesh, cfg):
     """Multi-process-safe allocation of the bucket-sharded table.
 

@@ -21,7 +21,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_store_and_match(tmp_path):
+@pytest.mark.parametrize("nproc,ndev", [(2, 4), (4, 2)])
+def test_multiprocess_distributed_store_and_match(tmp_path, nproc, ndev):
+    """2 procs x 4 devices and 4 procs x 2 devices (VERDICT r2 #10), both
+    forming the same 8-device global mesh; per-host batch slices are
+    assembled with a real cross-process allgather inside the worker."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)                 # worker sets its own
@@ -32,9 +36,9 @@ def test_two_process_distributed_store_and_match(tmp_path):
     # backend at interpreter start, which jax.distributed.initialize forbids
     env["PYTHONPATH"] = repo
     procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(i), "2", str(port)],
+        [sys.executable, _WORKER, str(i), str(nproc), str(port), str(ndev)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env) for i in range(2)]
+        env=env) for i in range(nproc)]
     outs = []
     try:
         for p in procs:
