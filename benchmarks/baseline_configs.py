@@ -104,31 +104,72 @@ def config2(scale):
             "match_queries_per_sec": round(len(queries) / dt, 1)}
 
 
+def _degrade(clip, rng, snr_db=None, speed=None, lowpass_hz=None):
+    """Query degradations (VERDICT r2 #5: a harness that discriminates).
+
+    speed != 1.0 is the documented hard case — landmark dt/df quantization
+    is NOT robust to time-scaling (SURVEY §0), so the P/R curve must bend
+    there; lowpass simulates codec band-limiting; SNR is additive noise
+    scaled to the clip's measured power."""
+    from scipy.signal import butter, resample_poly, sosfilt
+    x = clip.astype(np.float64)
+    if speed and speed != 1.0:
+        # rational approximation of the speed factor (time-scale + pitch)
+        up, dn = max(1, round(1000 / speed)), 1000
+        x = resample_poly(x, up, dn)
+    if lowpass_hz:
+        sos = butter(6, lowpass_hz / (SR / 2), output="sos")
+        x = sosfilt(sos, x)
+    if snr_db is not None:
+        sig_pow = float(np.mean(x ** 2))
+        noise_pow = sig_pow / (10 ** (snr_db / 10))
+        x = x + np.sqrt(noise_pow) * rng.standard_normal(len(x))
+    return x.astype(np.float32)
+
+
+# condition name -> _degrade kwargs.  3 s queries; the combined row is the
+# "phone in a bar" case (noisy + band-limited + slightly off-speed).
+CONFIG3_CONDITIONS = [
+    ("clean", {}),
+    ("snr10", {"snr_db": 10}),
+    ("snr5", {"snr_db": 5}),
+    ("snr0", {"snr_db": 0}),
+    ("lowpass3k", {"lowpass_hz": 3000}),
+    ("speed+2%", {"speed": 1.02}),
+    ("speed-3%", {"speed": 0.97}),
+    ("speed+4%", {"speed": 1.04}),
+    ("snr5_lp3k_speed+2%", {"snr_db": 5, "lowpass_hz": 3000,
+                            "speed": 1.02}),
+]
+
+
 def config3(scale):
     from audfprint_tpu.match.matcher import Matcher
-    from scipy.signal import resample_poly
     n = max(8, int(1000 * scale))
     dur = 30.0 if scale >= 0.5 else 10.0
+    qdur = 3.0
     an = _analyzer()
     tracks = _tracks(n, dur)
     ht = _build_db(tracks, an)
     an4 = _analyzer(shifts=4, density=40.0)
     rng = np.random.default_rng(2)
-    queries, truths = [], []
-    for i in range(min(n, 32)):
-        s = rng.integers(0, int((dur - 5) * SR))
-        clip = tracks[i][s: s + 5 * SR].copy()
-        clip = clip + 0.05 * rng.standard_normal(len(clip)).astype(np.float32)
-        # resample round-trip (codec-ish distortion)
-        clip = resample_poly(resample_poly(clip, 16000, SR),
-                             SR, 16000).astype(np.float32)[: 5 * SR]
-        queries.append(clip)
-        truths.append(i)
-    qh = an4.samples_batch2hashes(queries)
-    results = Matcher().match_hashes_batch(ht, qh)
-    prec, rec = _pr(results, truths)
-    return {"config": 3, "tracks": n, "precision": round(prec, 3),
-            "recall": round(rec, 3)}
+    nq = min(n, 32)
+    starts = [int(rng.integers(0, int((dur - qdur - 1) * SR)))
+              for _ in range(nq)]
+    m = Matcher()
+    curve = {}
+    for name, kw in CONFIG3_CONDITIONS:
+        queries, truths = [], []
+        for i in range(nq):
+            clip = tracks[i][starts[i]: starts[i] + int(qdur * SR)].copy()
+            queries.append(_degrade(clip, rng, **kw))
+            truths.append(i)
+        qh = an4.samples_batch2hashes(queries)
+        results = m.match_hashes_batch(ht, qh)
+        prec, rec = _pr(results, truths)
+        curve[name] = {"precision": round(prec, 3), "recall": round(rec, 3)}
+    return {"config": 3, "tracks": n, "query_dur_s": qdur,
+            "curve": curve}
 
 
 def config4(scale):
@@ -215,9 +256,19 @@ def config5(scale):
     np.asarray(out["ids"])
     q_s = time.time() - t0
     acc = float((ids0 == np.arange(QB)).mean())
+    # out-of-DB false-positive rate at the default threshold (VERDICT r2
+    # #5): fresh random hash streams that were never stored — any row the
+    # matcher reports is a pure bucket-collision false positive.  rvalid
+    # (row kept) is the report decision; n_results > 0 <=> "Matched" line.
+    oq_t = rng.integers(0, tcfg.maxtime, (QB, Q)).astype(np.int32)
+    oq_h = rng.integers(0, 1 << 20, (QB, Q)).astype(np.int32)
+    oo = match(table, counts, jnp.asarray(hpi), jnp.asarray(oq_t),
+               jnp.asarray(oq_h), jnp.asarray(qv))
+    fp = float((np.asarray(oo["n_results"]) > 0).mean())
     return {"config": 5, "tracks": n_tracks, "devices": ndev,
             "build_s": round(build_s, 1), "top1_self": acc,
-            "queries_per_sec": round(QB / q_s, 1)}
+            "queries_per_sec": round(QB / q_s, 1),
+            "oodb_fp_rate": round(fp, 4), "oodb_queries": QB}
 
 
 def main():

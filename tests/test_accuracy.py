@@ -115,3 +115,37 @@ def test_snr_sweep_recall_curve(db):
     # roughly monotone: no step up by more than one query as SNR drops
     for a, b in zip(recalls, recalls[1:]):
         assert b <= a + 1.0 / N_TRACKS + 1e-9, (snrs_db, recalls)
+
+
+def test_speed_shift_discriminates(db):
+    """±4% speed change must DEGRADE matching sharply — landmark dt/df
+    quantization is not speed-robust (SURVEY §0), and a harness where
+    every condition scores 1.0 proves nothing (VERDICT r2 #5).  This pins
+    that the curve actually bends."""
+    from scipy.signal import resample_poly
+    analyzer, ht, tracks, rng = db
+    clean, shifted, truths = [], [], []
+    for i in range(N_TRACKS):
+        start = rng.integers(0, int((DUR - 4) * SR))
+        clip = tracks[i][start: start + 4 * SR].copy()
+        clean.append(clip)
+        shifted.append(resample_poly(
+            clip.astype(np.float64), 962, 1000).astype(np.float32))
+        truths.append(i)
+    r_clean = _top1_acc(analyzer, ht, clean, truths)
+    r_shift = _top1_acc(analyzer, ht, shifted, truths)
+    assert r_clean >= 0.9, r_clean
+    assert r_shift <= r_clean - 0.3, (r_clean, r_shift)
+
+
+def test_out_of_db_music_fp_rate(db):
+    """Out-of-DB MUSIC-LIKE queries (structured signal, not just noise —
+    the harder false-positive case) report nothing at the default
+    threshold."""
+    analyzer, ht, _tracks, _rng = db
+    oodb = [synth_audio(np.random.default_rng(777000 + i), dur_sec=4.0,
+                        n_tones=60) for i in range(8)]
+    results = Matcher().match_hashes_batch(
+        ht, analyzer.samples_batch2hashes(oodb))
+    fp = sum(1 for rows in results if len(rows))
+    assert fp == 0, fp
