@@ -203,7 +203,7 @@ def config4(scale):
                 "pipeline_audio_sec_per_sec": round(n * dur / elapsed, 1)}
 
 
-def config5(scale):
+def config5(scale, idbits=0):
     import jax.numpy as jnp
 
     from audfprint_tpu.index import device_table as DT
@@ -213,7 +213,9 @@ def config5(scale):
     n_tracks = max(64, int(100000 * scale))
     hpt = 300
     ndev = jax.device_count()
-    tcfg = DT.TableConfig()
+    # idbits > 18 at the default maxtimebits=14 engages the WIDE split-word
+    # table (VERDICT r2 #6) — required past 262,144 tracks
+    tcfg = DT.TableConfig(idbits=idbits)
     mesh = sharded.make_mesh(ndev)
     table, counts = sharded.empty_sharded_table(mesh, tcfg)
     store = sharded.sharded_store_fn(mesh, tcfg)
@@ -266,6 +268,7 @@ def config5(scale):
                jnp.asarray(oq_h), jnp.asarray(qv))
     fp = float((np.asarray(oo["n_results"]) > 0).mean())
     return {"config": 5, "tracks": n_tracks, "devices": ndev,
+            "idbits": idbits, "wide": bool(tcfg.wide),
             "build_s": round(build_s, 1), "top1_self": acc,
             "queries_per_sec": round(QB / q_s, 1),
             "oodb_fp_rate": round(fp, 4), "oodb_queries": QB}
@@ -275,11 +278,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", type=int, choices=[1, 2, 3, 4, 5])
     ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--idbits", type=int, default=0,
+                    help="config 5: entry id bits (engages the wide table "
+                         "past 18 at default maxtimebits)")
     args = ap.parse_args()
     import audfprint_tpu.utils.jaxconfig as jc
     jc.setup()
     fn = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
-    print(json.dumps(fn[args.config](args.scale)))
+    if args.config == 5:
+        print(json.dumps(config5(args.scale, idbits=args.idbits)))
+    else:
+        print(json.dumps(fn[args.config](args.scale)))
 
 
 if __name__ == "__main__":
