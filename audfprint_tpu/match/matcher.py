@@ -312,13 +312,23 @@ class Matcher:
     # -- diagnostics --------------------------------------------------------
 
     def illustrate_match(self, analyzer, ht, filename: str,
-                         out_png: str | None = None):
+                         out_png: str | None = None,
+                         show: bool | None = None):
         """Spectrogram + landmark overlay, matched landmarks highlighted
         (reference illustrate_match, audfprint_match.py:~300-380).
-        Saves to <filename>.match.png (headless environment)."""
+
+        show=None (default): display interactively when a display exists
+        (the reference's matplotlib behavior), else save
+        <filename>.match.png; show=True/False forces either."""
+        import os
+        if show is None:
+            show = bool(os.environ.get("DISPLAY")
+                        or os.environ.get("MPLBACKEND", ""
+                                          ).lower() not in ("", "agg"))
         try:
             import matplotlib
-            matplotlib.use("Agg")
+            if not show:
+                matplotlib.use("Agg")
             import matplotlib.pyplot as plt
         except ImportError:
             print("illustrate_match: matplotlib not available; skipping")
@@ -353,6 +363,10 @@ class Matcher:
                          f"dt={mode} frames")
         else:
             ax.set_title(f"{filename}: NOMATCH")
+        if show:
+            plt.show()               # the reference's interactive display
+            plt.close(fig)
+            return None
         out_png = out_png or filename + ".match.png"
         fig.savefig(out_png, dpi=90)
         plt.close(fig)
