@@ -64,10 +64,13 @@ def _use_pallas(impl: str, T: int, cfg: PipelineConfig) -> bool:
         return True
     # auto: the fused kernel streams the time axis (VMEM is T-independent),
     # so any clip length qualifies; CPU uses the XLA path (interpret-mode
-    # pallas is for tests)
+    # pallas is for tests).  The compact peak interchange caps pks/frame
+    # at 8 (lanes 0..7 pos, 8..15 val) — larger -P falls back to the XLA
+    # scan rather than asserting.
     import jax as _jax
     return (_jax.default_backend() == "tpu"
-            and cfg.n_bins == 256 and T > 0)
+            and cfg.n_bins == 256 and T > 0
+            and cfg.maxpksperframe <= 8)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "impl"))
