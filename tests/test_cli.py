@@ -350,3 +350,35 @@ def test_continue_on_error_covers_precomp_inputs(fixture_dir, tmp_path,
     db2 = tmp_path / "cprec2.pklz"
     with pytest.raises((OSError, ValueError)):
         main(["new", "-d", str(db2), *COMMON, bad])
+
+
+def test_cli_wide_table_end_to_end(tmp_path, capsys):
+    """Wide-entry tables through the product surface (VERDICT r2 #6):
+    --idbits 20 at maxtimebits 14 = 64-bit entries; new -> match must
+    round-trip and match at rank 0 on the (sharded, auto --ndev) mesh."""
+    import numpy as np
+
+    from audfprint_tpu.cli import main
+    from audfprint_tpu.index.hash_table import HashTable
+    from audfprint_tpu.utils.audio import audio_write_wav
+    from tests.conftest import synth_audio
+
+    rng = np.random.default_rng(31)
+    sr = 11025
+    tracks = [synth_audio(rng, dur_sec=5.0, n_tones=40) for _ in range(2)]
+    wavs = []
+    for i, x in enumerate(tracks):
+        p = str(tmp_path / f"w{i}.wav")
+        audio_write_wav(p, x, sr)
+        wavs.append(p)
+    q = str(tmp_path / "q.wav")
+    audio_write_wav(q, tracks[1][256 * 43: 256 * 43 + 3 * sr], sr)
+    db = str(tmp_path / "wide.pklz")
+    common = ["-h", "14", "-b", "20", "--idbits", "20"]
+    assert main(["new", "-d", db, *common, *wavs]) == 0
+    ht = HashTable(db)
+    assert ht.wide and ht.table.dtype == np.uint64
+    capsys.readouterr()
+    assert main(["match", "-d", db, *common, q]) == 0
+    out = capsys.readouterr().out
+    assert "w1.wav at " in out and "rank 0" in out, out
