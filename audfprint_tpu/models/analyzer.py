@@ -226,14 +226,18 @@ class Analyzer:
 
     def glob2hashtable(self, pattern: str, ht=None):
         """Build (or extend) a HashTable from a glob pattern (reference
-        glob2hashtable, audfprint_analyze.py [M])."""
+        glob2hashtable, audfprint_analyze.py [M]) — batched on device
+        (ids and table content identical to the serial per-file loop:
+        store order is input order)."""
         import glob as _glob
 
         from audfprint_tpu.index.hash_table import HashTable
         if ht is None:
             ht = HashTable()
-        for name in sorted(_glob.glob(pattern)):
-            self.ingest(ht, name)
+        names = sorted(_glob.glob(pattern))
+        for name, h in zip(names, self.wavfiles2hashes(names)):
+            if h is not None:
+                ht.store_vectorized(name, h)
         return ht
 
     def wavfiles2hashes(self, filenames: list) -> list:
