@@ -317,22 +317,27 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
             with stages.time("store"):
                 store.store_chunk(chunk_pairs)
 
-    for ci in range(len(chunks)):
-        with stages.time("decode"):
-            ordered = pending_decode.result()
-        pending_decode = (pool.submit(_decode_chunk, chunks[ci + 1])
-                          if ci + 1 < len(chunks) else None)
-        with stages.time("dispatch"):
-            handle = analyzer.fingerprint_async(
-                [d for _, kind, d in ordered
-                 if kind == "wav" and d is not None])
+    try:
+        for ci in range(len(chunks)):
+            with stages.time("decode"):
+                ordered = pending_decode.result()
+            pending_decode = (pool.submit(_decode_chunk, chunks[ci + 1])
+                              if ci + 1 < len(chunks) else None)
+            with stages.time("dispatch"):
+                handle = analyzer.fingerprint_async(
+                    [d for _, kind, d in ordered
+                     if kind == "wav" and d is not None])
+            _store_inflight()
+            in_flight = (ordered, handle)
         _store_inflight()
-        in_flight = (ordered, handle)
-    _store_inflight()
-    if store is not None:
-        with stages.time("store"):
-            store.finalize()
-    pool.shutdown(wait=False)
+    finally:
+        # even when a chunk raises (fail_on_error), the host table must
+        # reflect every chunk already stored on device — names and
+        # hashesperid were updated eagerly
+        if store is not None:
+            with stages.time("store"):
+                store.finalize()
+        pool.shutdown(wait=False)
     return n_done, tot_dur
 
 

@@ -61,7 +61,8 @@ class Matcher:
         from audfprint_tpu.parallel import sharded
         n = sharded.resolve_ndev(self.ndev)
         if n > 1 and (1 << ht.hashbits) % n:
-            if self.verbose:
+            if self.verbose and getattr(self, "_ndev_noted", None) != n:
+                self._ndev_noted = n      # note once, not per batch
                 print(f"Note: hashbits={ht.hashbits} table not divisible "
                       f"over {n} devices; matching single-device")
             return 1

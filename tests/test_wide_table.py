@@ -205,3 +205,35 @@ def test_wide_merge_and_remove(rng):
     a.remove(f"t{1 << 18}")
     hits = a.get_hits(np.stack([np.zeros(50, np.int64), pa[:, 1]], axis=1))
     assert (1 << 18) not in set(hits[:, 0].tolist())
+
+
+def test_wide_device_merge_resharding(rng):
+    """Merge-as-resharding with wide entries: replaying a wide host
+    table's entry streams through the sharded device store must equal the
+    host merge (the reference's only distribution story, on 64-bit
+    entries)."""
+    mesh = sharded.make_mesh(8)
+    cfg = DT.TableConfig(hashbits=12, depth=8, maxtimebits=14, idbits=20)
+    a = HashTable(**WIDE_KW)
+    b = HashTable(**WIDE_KW)
+    for i, (ht, nm) in enumerate([(a, "a"), (b, "b")]):
+        p = np.stack([rng.integers(0, ht.maxtime, 300),
+                      rng.integers(0, 1 << ht.hashbits, 300)], axis=1)
+        ht.store_vectorized(nm, p)
+    # host ground truth
+    want = HashTable(**WIDE_KW)
+    want.table = a.table.copy()
+    want.counts = a.counts.copy()
+    want.names = list(a.names)
+    want.hashesperid = a.hashesperid.copy()
+    want.merge(b)
+    # device: upload a sharded, replay b's streams with the id offset
+    tableN, countsN = sharded.shard_table(
+        mesh, DT.split_wide(a.table), a.counts)
+    merge = sharded.sharded_merge_fn(mesh, cfg)
+    hs, es, vs = sharded.entry_streams(b, id_offset=len(a.names))
+    assert es.ndim == 2 and es.shape[1] == 2      # wide (lo, hi) planes
+    tableN, countsN = merge(tableN, countsN, jnp.asarray(hs),
+                            jnp.asarray(es), jnp.asarray(vs))
+    np.testing.assert_array_equal(DT.join_wide(tableN), want.table)
+    np.testing.assert_array_equal(np.asarray(countsN), want.counts)
