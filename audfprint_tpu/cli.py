@@ -240,6 +240,76 @@ def _ingest_device_store(ht: HashTable, args, report):
         return None
 
 
+def _decode_chunk(analyzer: Analyzer, args, report, chunk: list) -> list:
+    """Decode one chunk -> (name, kind, samples) entries in the chunk's
+    ORIGINAL order (the reference processes files strictly in input order
+    — id assignment and output lines must match even when precomputed and
+    raw inputs are mixed)."""
+    kinds = [os.path.splitext(n)[1] in (formats.PRECOMPEXT,
+                                        formats.PRECOMPPKEXT)
+             for n in chunk]
+    wavs = [n for n, pre in zip(chunk, kinds) if not pre]
+    signals = iter(_decode_many(analyzer, wavs, args.ncores, report))
+    return [(n, "pre", None) if pre else (n, "wav", next(signals))
+            for n, pre in zip(chunk, kinds)]
+
+
+def _resolve_chunk(analyzer: Analyzer, ordered: list, hashes_iter,
+                   report) -> list:
+    """Decoded entries + resolved device hashes -> ordered
+    (name, hashes, dur) rows; precomputed files load here; failures are
+    reported + skipped (the --continue-on-error contract covers corrupt
+    precompute inputs too)."""
+    rows = []
+    for name, kind, d in ordered:              # strict input order
+        if kind == "wav":
+            if d is None:
+                continue                       # decode failed, reported
+            rows.append((name, next(hashes_iter),
+                         len(d) / analyzer.target_sr))
+        else:
+            try:
+                h = analyzer.wavfile2hashes(name)   # .afpt or .afpk
+            except (OSError, ValueError) as e:
+                if analyzer.fail_on_error:
+                    raise
+                report(f"Error reading {name}: {e}")
+                continue
+            rows.append((name, h, analyzer.soundfiledur))
+    return rows
+
+
+def _run_pipelined(chunks: list, analyzer: Analyzer, args, report,
+                   stages: Stages, consume) -> None:
+    """Three-stage pipeline shared by do_ingest and do_match: decode chunk
+    i+1 on a host thread while the device fingerprints chunk i and
+    `consume(ordered, handle)` handles chunk i-1 (the TPU-era
+    QueueReaderThread, SURVEY §2.2; the device never idles)."""
+    pool = ThreadPoolExecutor(max_workers=1)
+    dec = lambda c: _decode_chunk(analyzer, args, report, c)  # noqa: E731
+    pending = pool.submit(dec, chunks[0]) if chunks else None
+    in_flight = None   # (ordered entries, async handle) awaiting consume
+    try:
+        for ci in range(len(chunks)):
+            with stages.time("decode"):
+                ordered = pending.result()
+            pending = (pool.submit(dec, chunks[ci + 1])
+                       if ci + 1 < len(chunks) else None)
+            with stages.time("dispatch"):
+                handle = analyzer.fingerprint_async(
+                    [d for _, kind, d in ordered
+                     if kind == "wav" and d is not None])
+            if in_flight is not None:
+                consume(*in_flight)
+            in_flight = (ordered, handle)
+        if in_flight is not None:
+            consume(*in_flight)
+    finally:
+        # wait=True: the decode worker may still call report(); returning
+        # with it running would let main() close the opfile under it
+        pool.shutdown(wait=True)
+
+
 def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
               report, stages: Stages | None = None) -> tuple[int, float]:
     """Batched analyze + store; returns (n_files, total_dur)."""
@@ -259,77 +329,28 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
     B = max(1, args.batchsize)
     chunks = [names[i: i + B] for i in range(0, len(names), B)]
 
-    def _decode_chunk(chunk):
-        # results keep the chunk's ORIGINAL order (the reference processes
-        # files strictly in input order — id assignment and output lines
-        # must match even when precomputed and raw inputs are mixed)
-        kinds = [os.path.splitext(n)[1] in (formats.PRECOMPEXT,
-                                            formats.PRECOMPPKEXT)
-                 for n in chunk]
-        wavs = [n for n, pre in zip(chunk, kinds) if not pre]
-        signals = iter(_decode_many(analyzer, wavs, args.ncores, report))
-        return [(n, "pre", None) if pre else (n, "wav", next(signals))
-                for n, pre in zip(chunk, kinds)]
-
-    # three-stage pipeline: decode chunk i+1 on a host thread while the
-    # device fingerprints chunk i and the host stores chunk i-1's results
-    # (the TPU-era QueueReaderThread, SURVEY §2.2; device never idles)
-    pool = ThreadPoolExecutor(max_workers=1)
-    pending_decode = pool.submit(_decode_chunk, chunks[0]) if chunks else None
-    in_flight = None   # (ordered entries, async handle) awaiting store
-
-    def _store_inflight():
+    def consume(ordered, handle):
         nonlocal tot_dur, n_done
-        if in_flight is None:
-            return
-        ordered, handle = in_flight
         with stages.time("analyze"):
             hashes = iter(analyzer.fingerprint_resolve(handle))
-        chunk_pairs = []
-        for name, kind, d in ordered:          # strict input order
-            if kind == "wav":
-                if d is None:
-                    continue                   # decode failed, reported
-                h = next(hashes)
-                dur = len(d) / analyzer.target_sr
-            else:
-                try:
-                    h = analyzer.wavfile2hashes(name)   # .afpt or .afpk
-                except (OSError, ValueError) as e:
-                    # missing/corrupt precompute file: same
-                    # --continue-on-error contract as raw audio
-                    if analyzer.fail_on_error:
-                        raise
-                    report(f"Error reading {name}: {e}")
-                    continue
-                dur = analyzer.soundfiledur
-            if store is not None:
-                chunk_pairs.append((name, h))
-            else:
+        rows = _resolve_chunk(analyzer, ordered, hashes, report)
+        if store is not None and rows:
+            # store the whole chunk BEFORE reporting it: a failure must
+            # never leave "ingested" lines for files that were not stored
+            # (one sharded dispatch per chunk; file order == input order)
+            with stages.time("store"):
+                store.store_chunk([(n, h) for n, h, _ in rows])
+        for name, h, dur in rows:
+            if store is None:
                 with stages.time("store"):
                     ht.store_vectorized(name, h)
             tot_dur += dur
             n_done += 1
             report(f"ingested #{n_done}: {name} "
                    f"({dur:.1f} s, {len(h)} hashes)")
-        if store is not None and chunk_pairs:
-            # one sharded dispatch per chunk; file order == input order
-            with stages.time("store"):
-                store.store_chunk(chunk_pairs)
 
     try:
-        for ci in range(len(chunks)):
-            with stages.time("decode"):
-                ordered = pending_decode.result()
-            pending_decode = (pool.submit(_decode_chunk, chunks[ci + 1])
-                              if ci + 1 < len(chunks) else None)
-            with stages.time("dispatch"):
-                handle = analyzer.fingerprint_async(
-                    [d for _, kind, d in ordered
-                     if kind == "wav" and d is not None])
-            _store_inflight()
-            in_flight = (ordered, handle)
-        _store_inflight()
+        _run_pipelined(chunks, analyzer, args, report, stages, consume)
     finally:
         # even when a chunk raises (fail_on_error), the host table must
         # reflect every chunk already stored on device — names and
@@ -337,7 +358,6 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
         if store is not None:
             with stages.time("store"):
                 store.finalize()
-        pool.shutdown(wait=False)
     return n_done, tot_dur
 
 
@@ -407,7 +427,7 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
              stages: Stages | None = None) -> tuple[int, float]:
     """Batched query matching with decode/compute overlap (VERDICT r2 #4):
     chunk i+1 decodes on a host thread while the device analyzes and
-    matches chunk i — do_ingest's pipeline applied to the query path, so
+    matches chunk i — the _run_pipelined driver shared with do_ingest, so
     the device never idles during query decode.  Output lines still follow
     the strict input order (reference contract)."""
     stages = stages or Stages()
@@ -416,68 +436,23 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
     B = max(1, args.batchsize)
     chunks = [names[i: i + B] for i in range(0, len(names), B)]
 
-    def _decode_chunk(chunk):
-        kinds = [os.path.splitext(n)[1] in (formats.PRECOMPEXT,
-                                            formats.PRECOMPPKEXT)
-                 for n in chunk]
-        wavs = [n for n, pre in zip(chunk, kinds) if not pre]
-        signals = iter(_decode_many(analyzer, wavs, args.ncores, report))
-        return [(n, "pre", None) if pre else (n, "wav", next(signals))
-                for n, pre in zip(chunk, kinds)]
-
-    pool = ThreadPoolExecutor(max_workers=1)
-    pending_decode = pool.submit(_decode_chunk, chunks[0]) if chunks else None
-    in_flight = None   # (ordered entries, async handle) awaiting match
-
-    def _match_inflight():
+    def consume(ordered, handle):
         nonlocal tot_dur, n_done
-        if in_flight is None:
-            return
-        ordered, handle = in_flight
         with stages.time("analyze"):
             hashes = iter(analyzer.fingerprint_resolve(handle))
-        # collect (name, hashes, dur) in the chunk's ORIGINAL order,
-        # precomputed inputs included
-        ok = []
-        for name, kind, d in ordered:
-            if kind == "wav":
-                if d is None:
-                    continue                   # decode failed, reported
-                ok.append((name, next(hashes),
-                           len(d) / analyzer.target_sr))
-            else:
-                try:
-                    h = analyzer.wavfile2hashes(name)   # .afpt or .afpk
-                except (OSError, ValueError) as e:
-                    if analyzer.fail_on_error:
-                        raise
-                    report(f"Error reading {name}: {e}")
-                    continue
-                ok.append((name, h, analyzer.soundfiledur))
-        if not ok:
+        rows = _resolve_chunk(analyzer, ordered, hashes, report)
+        if not rows:
             return
         with stages.time("match"):
-            results = matcher.match_hashes_batch(ht, [h for _, h, _ in ok])
-        for (name, h, dur), rows in zip(ok, results):
-            for msg in matcher.results_to_msgs(rows, dur, len(h),
+            results = matcher.match_hashes_batch(ht, [h for _, h, _ in rows])
+        for (name, h, dur), rrows in zip(rows, results):
+            for msg in matcher.results_to_msgs(rrows, dur, len(h),
                                                analyzer, ht, name):
                 report(msg)
             tot_dur += dur
             n_done += 1
 
-    for ci in range(len(chunks)):
-        with stages.time("decode"):
-            ordered = pending_decode.result()
-        pending_decode = (pool.submit(_decode_chunk, chunks[ci + 1])
-                          if ci + 1 < len(chunks) else None)
-        with stages.time("dispatch"):
-            handle = analyzer.fingerprint_async(
-                [d for _, kind, d in ordered
-                 if kind == "wav" and d is not None])
-        _match_inflight()
-        in_flight = (ordered, handle)
-    _match_inflight()
-    pool.shutdown(wait=False)
+    _run_pipelined(chunks, analyzer, args, report, stages, consume)
     return n_done, tot_dur
 
 

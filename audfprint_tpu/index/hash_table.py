@@ -205,8 +205,9 @@ class HashTable:
         # split uint32 planes on device) — VERDICT r2 #6: capacity beyond
         # the reference's 2^18-track / mod-16384 packing cap.  Both fields
         # are capped at 31 bits (ids stay int32 in the voting core).
-        if idbits and (idbits > 31 or self.maxtimebits > 31):
-            raise ValueError("idbits and maxtimebits must each be <= 31")
+        if idbits < 0 or idbits > 31 or self.maxtimebits > 31:
+            raise ValueError(
+                "idbits must be in [0, 31] and maxtimebits <= 31")
         if not idbits and self.maxtimebits > 31:
             raise ValueError("maxtimebits must be <= 31")
         self.idbits = int(idbits)

@@ -90,10 +90,7 @@ class Matcher:
 
                 from audfprint_tpu.parallel import sharded
                 mesh = sharded.make_mesh(ndev)
-                tcfg = DT.config_for(ht)
-                host = (DT.split_wide(ht.table) if tcfg.wide
-                        else ht.table)
-                table, counts = sharded.shard_table(mesh, host, ht.counts)
+                table, counts, tcfg = sharded.upload_sharded(ht, mesh)
                 hpi_dev = jax.device_put(
                     hpi, NamedSharding(mesh, PS()))
             else:
@@ -191,9 +188,21 @@ class Matcher:
         budget = self._budget_bytes()
         per_row = self._voting_bytes_per_row(tcfg, qt_cap)
         core = "hist"
-        if per_row > budget and mesh is None:
-            # the sharded path keeps the psum-combinable hist core; past
-            # the envelope it splits harder instead of switching cores
+        if per_row > budget:
+            # even a single row's hist buffers exceed the envelope (very
+            # long query x deep search): switch to the maxtime-independent
+            # sorted core.  The sharded path has no psum-combinable sorted
+            # core, so such a call drops to one device for bit-identical
+            # results instead of OOMing mid-mesh (rare; the table upload
+            # is cached per revision like any other)
+            if mesh is not None:
+                if self.verbose:
+                    print("Note: query exceeds the sharded voting memory "
+                          "envelope; matching this batch single-device")
+                import jax
+                table, counts, tcfg = DT.table_to_device(ht)
+                hpi = jax.device_put(np.asarray(hpi))
+                mesh = None
             core = "sorted"
             per_row = self._sorted_bytes_per_row(tcfg, Q)
         bsub = min(B, max(1, budget // max(1, per_row)))
@@ -319,13 +328,15 @@ class Matcher:
         (reference illustrate_match, audfprint_match.py:~300-380).
 
         show=None (default): display interactively when a display exists
-        (the reference's matplotlib behavior), else save
-        <filename>.match.png; show=True/False forces either."""
+        AND no explicit out_png was requested (the reference's matplotlib
+        behavior), else save <filename>.match.png; show=True/False forces
+        either."""
         import os
         if show is None:
-            show = bool(os.environ.get("DISPLAY")
-                        or os.environ.get("MPLBACKEND", ""
-                                          ).lower() not in ("", "agg"))
+            show = out_png is None and bool(
+                os.environ.get("DISPLAY")
+                or os.environ.get("MPLBACKEND", "").lower()
+                not in ("", "agg"))
         try:
             import matplotlib
             if not show:

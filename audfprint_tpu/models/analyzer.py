@@ -226,16 +226,24 @@ class Analyzer:
 
     def glob2hashtable(self, pattern: str, ht=None):
         """Build (or extend) a HashTable from a glob pattern (reference
-        glob2hashtable, audfprint_analyze.py [M]) — batched on device
-        (ids and table content identical to the serial per-file loop:
-        store order is input order)."""
+        glob2hashtable, audfprint_analyze.py [M]) — audio batched on
+        device, precomputed .afpt/.afpk loaded directly (ids and table
+        content identical to the serial per-file loop: store order is
+        input order)."""
         import glob as _glob
 
         from audfprint_tpu.index.hash_table import HashTable
         if ht is None:
             ht = HashTable()
         names = sorted(_glob.glob(pattern))
-        for name, h in zip(names, self.wavfiles2hashes(names)):
+        pre = {n for n in names
+               if os.path.splitext(n)[1] in (formats.PRECOMPEXT,
+                                             formats.PRECOMPPKEXT)}
+        wavs = [n for n in names if n not in pre]
+        wav_hashes = iter(self.wavfiles2hashes(wavs))
+        for name in names:
+            h = (self.wavfile2hashes(name) if name in pre
+                 else next(wav_hashes))
             if h is not None:
                 ht.store_vectorized(name, h)
         return ht

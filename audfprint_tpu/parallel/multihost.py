@@ -38,14 +38,19 @@ def global_table_mesh() -> Mesh:
 
 
 def process_local_batch_slice(global_batch: int) -> slice:
-    """Each host decodes/feeds its own slice of a data-parallel batch."""
+    """Each host decodes/feeds its own slice of a data-parallel batch.
+
+    Remainder rows are spread over the first `global_batch % n` processes
+    (slices of size per+1), so every row belongs to exactly one host."""
     n = jax.process_count()
     i = jax.process_index()
-    per = global_batch // n
-    return slice(i * per, (i + 1) * per)
+    per, rem = divmod(global_batch, n)
+    start = i * per + min(i, rem)
+    return slice(start, start + per + (1 if i < rem else 0))
 
 
-def allgather_host_batch(local_rows: np.ndarray) -> np.ndarray:
+def allgather_host_batch(local_rows: np.ndarray,
+                         global_batch: int | None = None) -> np.ndarray:
     """Assemble the replicated global batch from per-process local slices.
 
     The multi-host ingest/match pattern: each host decodes its OWN files
@@ -53,13 +58,27 @@ def allgather_host_batch(local_rows: np.ndarray) -> np.ndarray:
     streams are allgathered across processes — the sharded store and match
     consume replicated streams, so this one collective is the only
     host-boundary data movement on the input side.  Single-process: the
-    identity."""
+    identity.
+
+    Pass `global_batch` when it is not divisible by process_count: local
+    slices are padded to a common size for the collective (allgather needs
+    equal shapes) and the padding rows are dropped on reassembly."""
     if jax.process_count() == 1:
         return np.asarray(local_rows)
     from jax.experimental import multihost_utils
 
-    out = np.asarray(multihost_utils.process_allgather(local_rows))
-    return out.reshape((-1,) + np.shape(local_rows)[1:])
+    n = jax.process_count()
+    local = np.asarray(local_rows)
+    if global_batch is None or global_batch % n == 0:
+        out = np.asarray(multihost_utils.process_allgather(local))
+        return out.reshape((-1,) + local.shape[1:])
+    per, rem = divmod(global_batch, n)
+    perc = per + 1                      # padded common slice size
+    pad = np.zeros((perc - len(local),) + local.shape[1:], local.dtype)
+    g = np.asarray(multihost_utils.process_allgather(
+        np.concatenate([local, pad], axis=0)))      # (n, perc, ...)
+    sizes = [per + (1 if j < rem else 0) for j in range(n)]
+    return np.concatenate([g[j, :sizes[j]] for j in range(n)], axis=0)
 
 
 def empty_sharded_table(mesh: Mesh, cfg):

@@ -51,10 +51,25 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def shard_table(mesh: Mesh, table, counts):
-    """Place a (n_buckets, depth) table bucket-sharded over the mesh."""
+    """Place a (n_buckets, depth[, 2]) table bucket-sharded over the mesh
+    (trailing axes replicate — wide tables' plane axis included)."""
     ts = NamedSharding(mesh, PS("d", None))
     cs = NamedSharding(mesh, PS("d"))
     return jax.device_put(table, ts), jax.device_put(counts, cs)
+
+
+def upload_sharded(ht, mesh: Mesh):
+    """Host HashTable -> bucket-sharded device (table, counts, cfg) —
+    the one place that knows wide tables split into uint32 planes before
+    sharding (shared by ShardedStore and the Matcher)."""
+    cfg = DT.config_for(ht)
+    if cfg.n_buckets % mesh.devices.size != 0:
+        raise ValueError(
+            f"hashbits={ht.hashbits} table not divisible over "
+            f"{mesh.devices.size} devices")
+    host = DT.split_wide(ht.table) if cfg.wide else ht.table
+    table, counts = shard_table(mesh, host, ht.counts)
+    return table, counts, cfg
 
 
 def empty_sharded_table(mesh: Mesh, cfg: DT.TableConfig):
@@ -161,13 +176,7 @@ class ShardedStore:
     def __init__(self, ht, mesh: Mesh):
         self.ht = ht
         self.mesh = mesh
-        self.cfg = DT.config_for(ht)
-        if self.cfg.n_buckets % mesh.devices.size != 0:
-            raise ValueError(
-                f"hashbits={ht.hashbits} table not divisible over "
-                f"{mesh.devices.size} devices")
-        host = DT.split_wide(ht.table) if self.cfg.wide else ht.table
-        self.table, self.counts = shard_table(mesh, host, ht.counts)
+        self.table, self.counts, self.cfg = upload_sharded(ht, mesh)
         self._store = sharded_store_fn(mesh, self.cfg)
 
     def store_chunk(self, names_hashes: list) -> None:
@@ -249,10 +258,8 @@ def entry_streams(ht, id_offset: int = 0):
 
     hs, _ranks, es = _stored_entry_streams(ht)
     if getattr(ht, "wide", False):
-        e64 = (es.astype(np.uint64)
-               + np.uint64(id_offset << ht.maxtimebits))
-        es = np.stack([(e64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-                       (e64 >> np.uint64(32)).astype(np.uint32)], axis=-1)
+        es = DT.split_wide(es.astype(np.uint64)
+                           + np.uint64(id_offset << ht.maxtimebits))
     else:
         es = (es + np.uint32(id_offset << ht.maxtimebits)).astype(np.uint32)
     return hs.astype(np.int32), es, np.ones(len(hs), bool)

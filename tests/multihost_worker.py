@@ -54,15 +54,20 @@ def main() -> None:
     # every process derives the same ground-truth streams, but FEEDS only
     # its process_local_batch_slice and assembles the replicated global
     # batch with the real cross-process allgather (the multi-host ingest
-    # input pattern, exercised for real — VERDICT r2 #10)
+    # input pattern, exercised for real — VERDICT r2 #10).  B=6 makes the
+    # 4-process case NON-divisible (slices 2,2,1,1), covering the padded
+    # remainder path.
     rng = np.random.default_rng(20260816)
-    B, L = 4, 64
+    B, L = 6, 64
     tt_full = rng.integers(0, 100, (B, L)).astype(np.int32)
     hh_full = rng.integers(0, 1 << tcfg.hashbits, (B, L)).astype(np.int32)
     sl = multihost.process_local_batch_slice(B)
-    assert sl == slice(B // nproc * pid, B // nproc * (pid + 1))
-    tt = multihost.allgather_host_batch(tt_full[sl])
-    hh = multihost.allgather_host_batch(hh_full[sl])
+    # slices must cover [0, B) exactly once across processes
+    per, rem = divmod(B, nproc)
+    start = pid * per + min(pid, rem)
+    assert sl == slice(start, start + per + (1 if pid < rem else 0))
+    tt = multihost.allgather_host_batch(tt_full[sl], B)
+    hh = multihost.allgather_host_batch(hh_full[sl], B)
     assert np.array_equal(tt, tt_full) and np.array_equal(hh, hh_full), \
         "allgathered global batch must equal the ground-truth streams"
     vv = np.ones((B, L), bool)

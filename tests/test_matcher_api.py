@@ -102,3 +102,30 @@ def test_afpk_roundtrip_equals_direct_hashes(setup, tmp_path):
     formats.peaks_save(afpk, analyzer.wavfile2peaks(wav))
     via_peaks = analyzer.wavfile2hashes(afpk)
     assert np.array_equal(direct, via_peaks)
+
+
+def test_glob2hashtable_mixed_precompute(tmp_path):
+    """glob2hashtable must ingest mixed audio + precomputed .afpt inputs
+    in sorted order (review r3: the batched rewrite briefly routed .afpt
+    files through audio decode)."""
+    import numpy as np
+
+    from audfprint_tpu.index.hash_table import HashTable
+    from audfprint_tpu.models.analyzer import Analyzer
+    from audfprint_tpu.utils import formats
+    from audfprint_tpu.utils.audio import audio_write_wav
+    from tests.conftest import synth_audio
+
+    rng = np.random.default_rng(5)
+    an = Analyzer()
+    x = synth_audio(rng, dur_sec=3.0)
+    audio_write_wav(str(tmp_path / "a.wav"), x, 11025)
+    hashes = np.stack([np.sort(rng.integers(0, 1024, 50)),
+                       rng.integers(0, 1 << 20, 50)], axis=1).astype(np.int32)
+    formats.hashes_save(str(tmp_path / "b.afpt"), hashes)
+    ht = an.glob2hashtable(str(tmp_path / "*.*"),
+                           HashTable(hashbits=16, depth=10, maxtime=2048))
+    assert len(ht.names) == 2
+    # sorted order: a.wav gets id 0, b.afpt id 1
+    assert ht.names[0].endswith("a.wav") and ht.names[1].endswith("b.afpt")
+    assert int(ht.hashesperid[1]) == 50
