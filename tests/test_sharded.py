@@ -161,3 +161,30 @@ def test_sharded_selection_stress(mesh, SD, exact):
                 jnp.asarray(vq))
     for k in want:
         assert np.array_equal(np.asarray(got[k]), np.asarray(want[k])), k
+
+
+def test_sharded_matcher_envelope_fallback(rng, tmp_path, capsys):
+    """A query past the voting memory envelope on a sharded Matcher must
+    fall back to the single-device sorted core (not OOM mid-mesh) with
+    bit-identical results (review r3)."""
+    from audfprint_tpu.index.hash_table import HashTable
+    from audfprint_tpu.match.matcher import Matcher
+
+    ht = HashTable(hashbits=12, depth=8, maxtime=1024)
+    streams = []
+    for i in range(6):
+        p = np.stack([np.sort(rng.integers(0, 1024, 200)),
+                      rng.integers(0, 1 << 12, 200)], axis=1)
+        ht.store_vectorized(f"t{i}", p)
+        streams.append(p)
+    queries = [s[:80] - [int(s[0, 0]), 0] for s in streams[:3]]
+
+    m1 = Matcher(ndev=1, verbose=0, search_depth=8)
+    want = m1.match_hashes_batch(ht, queries)
+    m8 = Matcher(ndev=8, verbose=1, search_depth=8)
+    m8.mem_budget_bytes = 1          # force the envelope fallback
+    got = m8.match_hashes_batch(ht, queries)
+    out = capsys.readouterr().out
+    assert "single-device" in out    # the fallback note fired
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
