@@ -23,7 +23,11 @@ and keeps only the irreducibly sequential work per frame:
   bwd pass  : streams the compact lists in reverse — no candidate
               re-extraction (fwd already ordered them) — sequential
               within-frame acceptance, per-peak MXU envelope raise.
-              Emits a 0/1 kept map.
+              Emits the kept peaks as a COMPACT per-frame (pos) list
+              (round 3b: replaced the dense 0/1 map, halving the bwd
+              output DMA and killing the downstream mask->top-k slot
+              re-extraction — the dense mask is reconstructed only for
+              tests via find_peaks_mask_fused).
 
 Layout: (B_tile, 256) — batch on sublanes, freq on 2x128 lanes; the time
 axis streams through VMEM in CHUNK-frame slabs with double-buffered DMA, so
@@ -192,7 +196,7 @@ def _kernel(m0_hbm, nf_ref, env0f_ref, env0b_ref,
             pk = cbuf[slot, j]                         # (B, 128)
             sth[:] = jnp.where(t == nfb - 1, env0b_ref[:], sth[:])
             valid_t = t < nfb                          # (B,1)
-            keptmask = jnp.zeros((B, F), bool)
+            kslots = []
             # within-frame acceptance IS sequential here (a kept peak
             # masks later, weaker peaks of its own frame — oracle
             # bwd_prune), so the per-peak bump stays in the chain
@@ -206,9 +210,15 @@ def _kernel(m0_hbm, nf_ref, env0f_ref, env0b_ref,
                 keep = got & valid_t & (v >= cur)
                 contrib = mxu_bump(onehot, keep) * jnp.where(keep, v, 0.0)
                 sth[:] = jnp.maximum(sth[:], contrib)
-                keptmask = keptmask | (onehot & keep)
+                kslots.append(jnp.where(keep, p.astype(jnp.float32), -1.0))
             sth[:] = sth[:] * a
-            kbuf[slot, j] = jnp.where(keptmask, 1.0, 0.0).astype(jnp.float32)
+            # compact kept list out: pos in lanes 0..k-1 (f32, exact below
+            # 2^24; -1 = not kept), extraction order — same layout as the
+            # fwd interchange
+            out = jnp.zeros((B, 128), jnp.float32)
+            for i in range(k):
+                out = jnp.where(lane128 == i, kslots[i], out)
+            kbuf[slot, j] = out
         dma_kept_out(slot, c).start()
         return 0
 
@@ -234,8 +244,11 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
     8..8+k-1).  This IS the fwd→bwd interchange (round 3: replaces the
     dense value map, cutting the bwd re-extraction reduces and 2x of the
     streamed bytes).
-    keptmap: (B, T, F) 1.0 where the bwd pass kept the peak (before the
-    delete-next rule, which the caller applies).
+    kept: (B, T, k) int32 — positions the bwd pass kept, extraction order,
+    -1 = not kept (before the delete-next rule, which the caller applies).
+    Round 3b: compact output replaces the dense (B, T, F) 0/1 map — the
+    bwd output DMA halves and the caller no longer re-extracts top-k
+    slots from a dense mask.
     """
     B, T, F = sgram.shape
     k = cfg.maxpksperframe
@@ -286,12 +299,12 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # peaks (Tp,Bp,128) HBM
-            pl.BlockSpec(memory_space=pl.ANY),        # keptmap (Tp,Bp,F) HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # keptpos (Tp,Bp,128) HBM
         ],
         scratch_shapes=[
             pltpu.VMEM((2, CHUNK, Bp, F), jnp.float32),    # m0 stream-in
             pltpu.VMEM((2, CHUNK, Bp, 128), jnp.float32),  # compact peaks
-            pltpu.VMEM((2, CHUNK, Bp, F), jnp.float32),    # keptmap out
+            pltpu.VMEM((2, CHUNK, Bp, 128), jnp.float32),  # compact kept out
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -300,20 +313,53 @@ def fused_prune(sgram: jax.Array, n_frames: jax.Array, cfg: PipelineConfig,
     )
     kern = functools.partial(
         _kernel, T=Tp, B=Bp, F=F, k=k, a_dec=float(cfg.a_dec))
-    peaks, keptmap = pl.pallas_call(
+    peaks, keptpos = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Tp, Bp, 128), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, Bp, F), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(m0_tm, n_frames[:, None].astype(jnp.int32), env0f, env0b,
       g1, g2b, g3b)
-    keptmap = jnp.transpose(keptmap, (1, 0, 2))[:B, :T]
-    return peaks, keptmap
+    kept = jnp.transpose(keptpos, (1, 0, 2))[:B, :T, :k].astype(jnp.int32)
+    return peaks, kept
+
+
+def _delete_next_compact(kept: jax.Array):
+    """Apply the reference's delete-next rule in the compact domain.
+
+    kept: (B, T, k) int32 positions (-1 = not kept), PRE-rule.  A kept
+    peak at (t, p) kills a kept peak at (t+1, p); kills test the PRE-rule
+    frame t (a killed peak still kills its successor), exactly like the
+    dense `kmask & ~shift(kmask)` formulation.  Returns (B, T, k) bool
+    survivors."""
+    B, T, k = kept.shape
+    prev = jnp.concatenate(
+        [jnp.full((B, 1, k), -1, kept.dtype), kept[:, :-1]], axis=1)
+    dup = jnp.any(kept[..., :, None] == prev[..., None, :], axis=-1)
+    return (kept >= 0) & ~dup
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def find_peaks_slots_fused(sgram_prehpf: jax.Array, n_frames: jax.Array,
+                           cfg: PipelineConfig, interpret: bool = False):
+    """Pre-HPF whitened sgram -> per-frame peak slots, no dense mask.
+
+    Returns (bins (B, T, k) int32 ascending, valid (B, T, k) bool) —
+    drop-in equal to ops.peaks.mask_to_slots(find_peaks_mask(hpf(sgram)))
+    (pinned by test_pallas_peaks), but straight from the kernel's compact
+    kept lists: the delete-next rule is k x k compares and the ascending
+    order one tiny sort, instead of top-k re-extraction over (B, T, F)."""
+    B, T, F = sgram_prehpf.shape
+    _peaks, kept = fused_prune(sgram_prehpf, n_frames, cfg, interpret)
+    surv = _delete_next_compact(kept)
+    s = jnp.sort(jnp.where(surv, kept, F), axis=-1)   # asc, F = absent
+    valid = s < F
+    return jnp.where(valid, s, 0).astype(jnp.int32), valid
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -322,10 +368,18 @@ def find_peaks_mask_fused(sgram_prehpf: jax.Array, n_frames: jax.Array,
     """Pre-HPF whitened sgram -> final (B, T, F) bool peak mask.
 
     Drop-in equal to ops.peaks.find_peaks_mask(hpf(sgram), ...) — the HPF
-    lives in the XLA precomputation."""
+    lives in the XLA precomputation.  The dense mask is scattered from the
+    kernel's compact kept lists (the product pipeline uses
+    find_peaks_slots_fused and never materializes it; this form serves
+    tests and mask-shaped callers)."""
     B, T, F = sgram_prehpf.shape
-    _peaks, keptmap = fused_prune(sgram_prehpf, n_frames, cfg, interpret)
-    kmask = keptmap > 0.5                             # (B,T,F)
+    _peaks, kept = fused_prune(sgram_prehpf, n_frames, cfg, interpret)
+    k = kept.shape[-1]
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, T, k))
+    tidx = jnp.broadcast_to(jnp.arange(T)[None, :, None], (B, T, k))
+    kmask = jnp.zeros((B, T, F), bool).at[
+        bidx, tidx, jnp.where(kept >= 0, kept, F)].set(
+        True, mode="drop")                            # (B,T,F) pre-rule
     # delete-next rule: kept peak at (t, p) kills kept peak at (t+1, p)
     kprev = jnp.concatenate(
         [jnp.zeros((B, 1, F), bool), kmask[:, :-1]], axis=1)

@@ -102,13 +102,15 @@ def fingerprint_batch(audio: jax.Array, lengths: jax.Array,
         from audfprint_tpu.ops import pallas_peaks as PP
         white = SP.whitened_logmag(audio_s, n_frames, cfg)
         import jax as _jax
-        mask = PP.find_peaks_mask_fused(
+        # slots come straight from the kernel's compact kept lists — no
+        # dense (B, T, F) mask materialization / top-k re-extraction
+        bins, valid = PP.find_peaks_slots_fused(
             white, n_frames, cfg,
             interpret=_jax.default_backend() == "cpu")
     else:
         sgram = SP.whitened_spectrogram(audio_s, n_frames, cfg)
         mask = PK.find_peaks_mask(sgram, n_frames, cfg)
-    bins, valid = PK.mask_to_slots(mask, cfg)
+        bins, valid = PK.mask_to_slots(mask, cfg)
     times, hashes, lvalid = L.slots_to_hashes(bins, valid, cfg)
 
     # flatten all shift rows of one file together, then sort + dedup

@@ -42,3 +42,22 @@ def test_fused_kernel_odd_batch(rng):
     got = PP.find_peaks_mask_fused(jnp.asarray(white), nf, CFG,
                                    interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fused_slots_match_mask_path(seed):
+    """find_peaks_slots_fused (the product path: compact kept lists ->
+    delete-next -> ascending slots, round 3b) must equal
+    mask_to_slots(find_peaks_mask(...)) exactly, including on tie-heavy
+    quantized inputs where the delete-next rule fires repeatedly."""
+    rng = np.random.default_rng(seed)
+    white = _rand_sgram(rng, B=3, T=40)
+    if seed == 2:  # quantized: plateaus + consecutive-frame repeats
+        white = np.round(white).astype(np.float32)
+    nf = jnp.asarray(np.array([40, 25, 8], np.int32))
+    mask = PK.find_peaks_mask(SP.hpf(jnp.asarray(white), CFG), nf, CFG)
+    wbins, wvalid = PK.mask_to_slots(mask, CFG)
+    gbins, gvalid = PP.find_peaks_slots_fused(jnp.asarray(white), nf, CFG,
+                                              interpret=True)
+    assert np.array_equal(np.asarray(gvalid), np.asarray(wvalid))
+    assert np.array_equal(np.asarray(gbins), np.asarray(wbins))
