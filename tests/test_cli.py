@@ -382,3 +382,33 @@ def test_cli_wide_table_end_to_end(tmp_path, capsys):
     assert main(["match", "-d", db, *common, q]) == 0
     out = capsys.readouterr().out
     assert "w1.wav at " in out and "rank 0" in out, out
+
+
+def test_speed_sweep_recovers_offspeed_query(fixture_dir, tmp_path, capsys):
+    """--speed-sweep N: a +4% speed-changed query (the accuracy harness's
+    recall-0 condition, docs/STATUS.md config 3) is unmatched by the plain
+    path but recovered by the sweep, with the winning factor annotated.
+    Default (sweep off) output stays byte-stable (golden tests)."""
+    from audfprint_tpu.utils.audio import _resample
+    db = tmp_path / "sweep.pklz"
+    _run(capsys, ["new", "-d", db, *COMMON,
+                  *(fixture_dir / f"track{i}.wav" for i in range(3))])
+    # speed up track1's 2.0-5.0 s clip by 4% (time-scale + pitch shift)
+    rng = np.random.default_rng(5)
+    clip = np.fromfile(str(fixture_dir / "query.wav"), np.int16)[22:] \
+        .astype(np.float32) / 32768.0
+    sped = _resample(clip, 104, 100)
+    qp = tmp_path / "sped.wav"
+    audio_write_wav(str(qp), sped, SR)
+
+    plain = _run(capsys, ["match", "-d", db, *COMMON, qp])
+    swept = _run(capsys, ["match", "-d", db, *COMMON,
+                          "--speed-sweep", "4", qp])
+    m = re.search(r"Matched .*sped\.wav .* as .*track1\.wav .*rank 0 "
+                  r"\(speed \+4%\)", swept)
+    assert m, (plain, swept)
+
+    def aligned(out):
+        g = re.search(r"with (\d+) of \d+ common hashes at rank 0", out)
+        return int(g.group(1)) if g else 0
+    assert aligned(swept) > aligned(plain), (plain, swept)
