@@ -429,45 +429,6 @@ def do_precompute(analyzer: Analyzer, names: list, args,
     return n_done, tot_dur
 
 
-def _sweep_factors(pct: float) -> list:
-    """+/-pct% speed-correction factors in 1% steps, unity excluded."""
-    k = min(10, int(round(abs(pct))))
-    return [1.0 + i / 100.0 for i in range(-k, k + 1) if i]
-
-
-def _sweep_hashes(analyzer: Analyzer, ordered: list, rows: list,
-                  factors: list) -> tuple[list, list]:
-    """Fingerprint speed-corrected resamples of each decoded query.
-
-    A query whose playback speed was changed by factor s has every
-    landmark dt (and df, via the spectral shift) off the stored values —
-    the accuracy harness measures recall 0 at -3%/+4% (docs/STATUS.md
-    config 3), and the reference has no answer to this.  Time-scaling the
-    query by a grid of candidate factors makes one variant land within
-    ~0.5% of the table's frame grid, where matching works again; the
-    variants are just extra batch rows through the same device pipeline.
-
-    Returns (meta, lists): meta[i] = (row_index, factor) labelling
-    lists[i].  Precomputed (.afpt/.afpk) rows carry no audio to resample
-    and keep their base hashes only."""
-    import numpy as np
-    samples = {n: d for n, kind, d in ordered
-               if kind == "wav" and d is not None}
-    sigs, meta = [], []
-    for ri, (name, _h, _dur) in enumerate(rows):
-        d = samples.get(name)
-        if d is None:
-            continue
-        if d.dtype == np.int16:
-            d = d.astype(np.float32) / float(1 << 15)
-        for f in factors:
-            sigs.append(audio_io._resample(d, 100, 100 + round((f - 1) * 100)))
-            meta.append((ri, f))
-    if not sigs:
-        return [], []
-    return meta, analyzer.samples_batch2hashes(sigs)
-
-
 def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
              names: list, args, report,
              stages: Stages | None = None) -> tuple[int, float]:
@@ -481,8 +442,7 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
     n_done = 0
     B = max(1, args.batchsize)
     chunks = [names[i: i + B] for i in range(0, len(names), B)]
-    factors = (_sweep_factors(args.speed_sweep)
-               if getattr(args, "speed_sweep", 0.0) else [])
+    pct = getattr(args, "speed_sweep", 0.0)
 
     def consume(ordered, handle):
         nonlocal tot_dur, n_done
@@ -492,21 +452,14 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
         if not rows:
             return
         base = [h for _, h, _ in rows]
-        if factors:
-            with stages.time("analyze"):
-                meta, vlists = _sweep_hashes(analyzer, ordered, rows,
-                                             factors)
-        else:
-            meta, vlists = [], []
+        # --speed-sweep: the decoded samples ride along in `ordered`;
+        # precomputed rows carry None (base hashes only)
+        smp = {n: d for n, kind, d in ordered
+               if kind == "wav" and d is not None}
         with stages.time("match"):
-            results = matcher.match_hashes_batch(ht, base + list(vlists))
-        # rank-0 aligned count decides which speed variant each query
-        # reports; ties keep unity so default-speed output is unchanged
-        score = (lambda rr: int(rr[0][1]) if len(rr) else 0)
-        best = [(rr, 1.0, len(h)) for rr, h in zip(results, base)]
-        for (ri, f), rr, h in zip(meta, results[len(base):], vlists):
-            if score(rr) > score(best[ri][0]):
-                best[ri] = (rr, f, len(h))
+            best = matcher.match_samples_sweep(
+                analyzer, ht, [smp.get(n) for n, _, _ in rows], pct,
+                base_hashes=base)
         for (name, _h, dur), (rrows, f, nh) in zip(rows, best):
             msgs = matcher.results_to_msgs(rrows, dur, nh,
                                            analyzer, ht, name)

@@ -14,9 +14,16 @@ import numpy as np
 from audfprint_tpu import params as P
 from audfprint_tpu.index import device_table as DT
 from audfprint_tpu.match import voting
+from audfprint_tpu.utils import audio as audio_io
 
 
 _next_pow2 = P.next_pow2
+
+
+def sweep_factors(pct: float) -> list:
+    """+/-pct% speed-correction factors in 1% steps, unity excluded."""
+    k = min(10, int(round(abs(pct))))
+    return [1.0 + i / 100.0 for i in range(-k, k + 1) if i]
 
 
 class Matcher:
@@ -261,6 +268,49 @@ class Matcher:
             n = int(out[b, :, 6].sum())   # n_results == rvalid.sum()
             results.append(out[b, :n, :6].astype(np.int64))
         return results
+
+    def match_samples_sweep(self, analyzer, ht, samples: list, pct: float,
+                            base_hashes: list | None = None) -> list:
+        """Batched match with a query playback-speed correction sweep.
+
+        Landmark dt/df quantization is not speed-robust (measured recall 0
+        at -3%/+4% speed, docs/STATUS.md config 3 — a blind spot the
+        reference shares).  Each query in `samples` is additionally
+        fingerprinted at +/-pct% time-scale corrections in 1% steps (just
+        extra rows of the device batch); all variants are matched in one
+        dispatch and the best rank-0 aligned count wins, unity on ties.
+
+        samples[i] = float32/int16 sample array, or None to match only
+        base_hashes[i] (e.g. precomputed inputs with no audio).
+        base_hashes: optional pre-fingerprinted (t, hash) arrays aligned
+        with samples (computed here when omitted).
+        Returns [(rows, factor, nhash_of_winner)] per query."""
+        factors = sweep_factors(pct)
+        if base_hashes is None:
+            base_hashes = analyzer.samples_batch2hashes(
+                [s for s in samples if s is not None])
+            it = iter(base_hashes)
+            base_hashes = [next(it) if s is not None
+                           else np.zeros((0, 2), np.int32) for s in samples]
+        sigs, meta = [], []
+        for i, d in enumerate(samples):
+            if d is None or not factors:
+                continue
+            if d.dtype == np.int16:
+                d = d.astype(np.float32) / float(1 << 15)
+            for f in factors:
+                sigs.append(audio_io._resample(
+                    d, 100, 100 + round((f - 1) * 100)))
+                meta.append((i, f))
+        vlists = analyzer.samples_batch2hashes(sigs) if sigs else []
+        results = self.match_hashes_batch(ht, list(base_hashes) + vlists)
+        score = (lambda rr: int(rr[0][1]) if len(rr) else 0)
+        best = [(rr, 1.0, len(h))
+                for rr, h in zip(results, base_hashes)]
+        for (i, f), rr, h in zip(meta, results[len(base_hashes):], vlists):
+            if score(rr) > score(best[i][0]):
+                best[i] = (rr, f, len(h))
+        return best
 
     # -- file-level API -----------------------------------------------------
 

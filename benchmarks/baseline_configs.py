@@ -168,6 +168,14 @@ def config3(scale):
         results = m.match_hashes_batch(ht, qh)
         prec, rec = _pr(results, truths)
         curve[name] = {"precision": round(prec, 3), "recall": round(rec, 3)}
+        if "speed" in name:
+            # --speed-sweep recovery (the capability the reference lacks):
+            # the same degraded queries, swept at +/-4% corrections
+            best = m.match_samples_sweep(an4, ht, queries, 4.0,
+                                         base_hashes=qh)
+            sp, sr_ = _pr([rr for rr, _f, _nh in best], truths)
+            curve[name]["sweep4_precision"] = round(sp, 3)
+            curve[name]["sweep4_recall"] = round(sr_, 3)
     return {"config": 3, "tracks": n, "query_dur_s": qdur,
             "curve": curve}
 

@@ -149,3 +149,28 @@ def test_out_of_db_music_fp_rate(db):
         ht, analyzer.samples_batch2hashes(oodb))
     fp = sum(1 for rows in results if len(rows))
     assert fp == 0, fp
+
+
+def test_speed_sweep_recovers_shifted_queries(db):
+    """Matcher.match_samples_sweep closes the speed blind spot that
+    test_speed_shift_discriminates pins: +4%-sped queries (recall
+    collapsed on the plain path) recover to near-clean top-1 accuracy
+    when swept at +/-4% corrections, and the winning factor is non-unity
+    for the recovered ones."""
+    from scipy.signal import resample_poly
+    analyzer, ht, tracks, rng = db
+    shifted, truths = [], []
+    for i in range(N_TRACKS):
+        start = rng.integers(0, int((DUR - 4) * SR))
+        clip = tracks[i][start: start + 4 * SR].copy()
+        shifted.append(resample_poly(
+            clip.astype(np.float64), 962, 1000).astype(np.float32))
+        truths.append(i)
+    r_plain = _top1_acc(analyzer, ht, shifted, truths)
+    best = Matcher().match_samples_sweep(analyzer, ht, shifted, 4.0)
+    hits = sum(1 for (rr, _f, _nh), t in zip(best, truths)
+               if len(rr) and int(rr[0][0]) == t)
+    r_sweep = hits / len(truths)
+    assert r_sweep >= 0.9, (r_plain, r_sweep)
+    assert r_sweep >= r_plain + 0.3, (r_plain, r_sweep)
+    assert any(f != 1.0 for _rr, f, _nh in best)
