@@ -19,11 +19,16 @@ the same insertion stream.
 
 Persistence: `.pklz` = gzip-pickled plain-dict snapshot (the reference
 gzip-pickles its class instance, hash_table.py:~250-330; a plain dict keeps
-the format loadable without this module's class path).  Interchange with the
-reference (SURVEY §5 checkpoint row): `load()` also accepts upstream
-class-instance pickles via an attribute-mapping shim (any `*.HashTable`
-global resolves to a stub), and `save_upstream()` writes a class-instance
-`.pklz` the reference tool can read back.
+the format loadable without this module's class path).  Sparse tables save
+their occupied slots only (`table_compact` key; `_compact_table_state`) —
+gzip-compressing the dense mostly-zero 400 MB array was the single largest
+cost of an end-to-end CLI ingest — with a verified tail-invariant check so
+the round-trip is provably bit-exact, falling back to the dense pickle
+otherwise.  Interchange with the reference (SURVEY §5 checkpoint row):
+`load()` also accepts upstream class-instance pickles via an
+attribute-mapping shim (any `*.HashTable` global resolves to a stub), and
+`save_upstream()` writes a class-instance `.pklz` the reference tool can
+read back.
 """
 
 from __future__ import annotations
@@ -164,6 +169,26 @@ def _state_from_upstream(obj: "_UpstreamStub") -> dict:
         "hashesperid": hashesperid,
         "params": params,
     }
+
+
+def _table_from_compact(buckets: np.ndarray, entries: np.ndarray,
+                        counts: np.ndarray, nbuckets: int, depth: int,
+                        dtype) -> np.ndarray:
+    """Rebuild the dense table from a compact occupied-slot stream.
+
+    `buckets` lists the buckets with >= 1 stored entry (ascending);
+    `entries` is their slot values in bucket-major slot order (the same
+    order `_stored_entry_streams` emits).  Exact inverse of the compact
+    save because the save path verified the tail invariant (every slot at
+    index >= min(counts, depth) is zero) before choosing this format."""
+    table = np.zeros((nbuckets, depth), dtype)
+    stored = np.minimum(counts, depth).astype(np.int64)
+    k = stored[buckets]
+    hs = np.repeat(buckets, k)
+    starts = np.cumsum(k) - k
+    ranks = np.arange(len(hs), dtype=np.int64) - np.repeat(starts, k)
+    table[hs, ranks] = entries
+    return table
 
 
 def _stored_entry_streams(ht: "HashTable"):
@@ -564,6 +589,39 @@ class HashTable:
             "params": header.get("params", {}),
         }
 
+    def _compact_table_state(self) -> dict | None:
+        """Compact occupied-slot form of `table` for `.pklz` saves, or None
+        when the dense array should be pickled instead.
+
+        The dense table is (1 << hashbits) x depth — 400 MB at defaults —
+        but after a typical ingest the overwhelming majority of slots are
+        zero, and gzip spends seconds compressing zeros (the dominant cost
+        of the end-to-end CLI ingest on this host).  The compact form
+        stores only the occupied buckets and their stored-slot values;
+        reconstruction scatters them into a zero table (`counts`, saved
+        either way, gives every bucket's slot occupancy).
+
+        Exactness precondition (verified, not assumed): every slot at
+        index >= min(counts[b], depth) must be zero.  store/merge/remove
+        maintain that invariant, but a table mutated by external code
+        might not — so compare the dense table's nonzero count against the
+        stored-entry stream's; any tail nonzero breaks the equality and
+        forces the dense path.  (Zero-valued *stored* entries — id 0 at
+        t 0 packs to 0 — reconstruct correctly either way: the target
+        array starts zeroed.)"""
+        stored = np.minimum(self.counts, self.depth).astype(np.int64)
+        total = int(stored.sum())
+        # past ~50% occupancy the index overhead outweighs the savings
+        if total * 2 * self.table.itemsize >= self.table.nbytes:
+            return None
+        _hs, _ranks, entries = _stored_entry_streams(self)
+        if np.count_nonzero(entries) != np.count_nonzero(self.table):
+            return None          # tail invariant violated -> dense save
+        return {
+            "buckets": np.nonzero(stored)[0].astype(np.int64),
+            "entries": entries,
+        }
+
     def save(self, name: str, params: dict | None = None,
              file_object=None) -> None:
         if params:
@@ -589,6 +647,10 @@ class HashTable:
             "hashesperid": self.hashesperid,
             "params": self.params,
         }
+        compact = self._compact_table_state()
+        if compact is not None:
+            del state["table"]
+            state["table_compact"] = compact
         self._invalidate_index()   # never persist the derived index
         # Named saves go through a temp + atomic rename (crash safety, and
         # a re-save over a file backing live .afdb memmaps must never
@@ -658,8 +720,17 @@ class HashTable:
         self.maxtimebits = int(np.log2(self.maxtime))
         self.seed = state.get("seed", 0)
         self.idbits = int(state.get("idbits", 0))
-        self.table = state["table"]
         self.counts = state["counts"]
+        if "table_compact" in state:
+            comp = state["table_compact"]
+            mtb = int(np.log2(self.maxtime))
+            wide = (self.idbits or (32 - mtb)) + mtb > 32
+            self.table = _table_from_compact(
+                comp["buckets"], comp["entries"], self.counts,
+                1 << self.hashbits, self.depth,
+                np.uint64 if wide else np.uint32)
+        else:
+            self.table = state["table"]
         self.names = state["names"]
         self.hashesperid = state["hashesperid"]
         self.params = state.get("params", {})

@@ -129,6 +129,50 @@ def test_table_save_load_merge_remove(tmp_path):
     assert ht2.names[0] is None
 
 
+def test_pklz_compact_save_roundtrip(tmp_path, rng):
+    """Sparse saves pickle only occupied slots; reload is bit-exact.
+
+    Includes overflowed buckets (counts > depth), a zero-valued stored
+    entry (id 0 at t 0 packs to entry 0), and the dense fallback when the
+    tail invariant is broken by external mutation."""
+    import gzip as _gzip
+    import pickle as _pickle
+
+    ht = HashTable(hashbits=12, depth=4, maxtime=256)
+    pairs = np.stack([rng.integers(0, 200, 4000) % 256,
+                      rng.integers(0, 1 << 12, 4000)], axis=1)
+    ht.store("a", pairs)                      # overflows many buckets
+    ht.store("zero", np.array([[0, 7]]))      # id 1; then re-store id 0:
+    ht.table[7, np.minimum(ht.counts[7], ht.depth) - 1] = 0  # fake (0, 0)
+    # the poked slot is STORED (within counts) so compact must keep parity
+    f = str(tmp_path / "c.pklz")
+    ht.save(f)
+    with _gzip.open(f, "rb") as fh:
+        state = _pickle.load(fh)
+    assert "table_compact" in state and "table" not in state
+    ht2 = HashTable(f)
+    assert np.array_equal(ht2.table, ht.table)
+    assert np.array_equal(ht2.counts, ht.counts)
+    assert ht2.names == ht.names
+
+    # tail invariant broken (nonzero slot past stored count) -> dense save
+    empty_bucket = int(np.nonzero(ht.counts == 0)[0][0])
+    ht.table[empty_bucket, 2] = 12345
+    f2 = str(tmp_path / "d.pklz")
+    ht.save(f2)
+    with _gzip.open(f2, "rb") as fh:
+        state2 = _pickle.load(fh)
+    assert "table" in state2 and "table_compact" not in state2
+    ht3 = HashTable(f2)
+    assert np.array_equal(ht3.table, ht.table)
+
+    # near-full tables skip the compact form on size grounds
+    full = HashTable(hashbits=6, depth=2, maxtime=256)
+    full.table[:] = 1
+    full.counts[:] = 2
+    assert full._compact_table_state() is None
+
+
 def _build_db(audio, n_tracks=4, rng=None):
     ht = HashTable()
     tracks = []
