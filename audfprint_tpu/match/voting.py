@@ -509,6 +509,72 @@ def _vss(sorted2d: jax.Array, q2d: jax.Array, side: str) -> jax.Array:
     )(sorted2d, q2d)
 
 
+class _Runs(NamedTuple):
+    """Run structure of a sorted (B, H) key array: for every position, the
+    index of its run's first element (`start`) and one past its run's last
+    element (`end`).  Runs = maximal blocks of equal keys.  Built with two
+    scans — no searchsorted (each `_vss` call hides a (B, 2H) sort, and on
+    TPU wide sorts are compute-bound at ~5x their bandwidth estimate)."""
+    start: jax.Array
+    end: jax.Array
+
+    @classmethod
+    def of(cls, keys_sorted: jax.Array) -> "_Runs":
+        B, H = keys_sorted.shape
+        iota = jnp.broadcast_to(
+            jnp.arange(H, dtype=jnp.int32)[None], (B, H))
+        first = jnp.concatenate(
+            [jnp.ones((B, 1), bool),
+             keys_sorted[:, 1:] != keys_sorted[:, :-1]], axis=1)
+        a = jnp.where(first, iota, H)
+        nxt_incl = jnp.flip(jax.lax.cummin(jnp.flip(a, 1), axis=1), 1)
+        end = jnp.concatenate(
+            [nxt_incl[:, 1:], jnp.full((B, 1), H, jnp.int32)], axis=1)
+        start = jax.lax.cummax(jnp.where(first, iota, 0), axis=1)
+        return cls(start=start, end=end)
+
+
+def _window_hit_count(k_s, r_s, d_s, runs: _Runs, center,
+                      left_hops: int, right_hops: int, nbins: int,
+                      W: int) -> jax.Array:
+    """Per hit: #same-rank hits with |bin - center| <= W, via run hops.
+
+    `center` must satisfy center ∈ [d_s - left_hops·1, d_s + ...] such
+    that at most `left_hops` distinct bins can lie in [center - W, d_s)
+    and at most `right_hops` in (d_s, center + W] — bins are distinct
+    integers across runs, so each boundary needs at most that many run
+    hops.  Each hop is two gathers + compares on (B, H) int32: far
+    cheaper than the searchsorted equivalent (a (B, 2H) sort per call).
+    Exact: reproduces `_vss(k_s, lo, 'left')/_vss(k_s, hi, 'right')`
+    range counts for in-domain centers."""
+    B, H = k_s.shape
+    lo_key = r_s * nbins + jnp.maximum(center - W, 0)
+    hi_key = r_s * nbins + jnp.minimum(center + W, nbins - 1)
+    take = lambda arr, i: jnp.take_along_axis(  # noqa: E731
+        arr, jnp.clip(i, 0, H - 1), axis=1)
+    # left boundary: first hit index whose key >= lo_key.  Start at own
+    # run's start; hop to the previous run while ITS key still >= lo_key.
+    begin = runs.start
+    for _ in range(left_hops):
+        prev_last = begin - 1
+        prev_key = take(k_s, prev_last)
+        ok = (begin > 0) & (prev_key >= lo_key)
+        begin = jnp.where(ok, take(runs.start, prev_last), begin)
+    # right boundary: one past the last hit whose key <= hi_key.  Start at
+    # own run's end; hop to the next run while its key <= hi_key.
+    end = runs.end
+    for _ in range(right_hops):
+        nxt_key = take(k_s, end)
+        ok = (end < H) & (nxt_key <= hi_key)
+        end = jnp.where(ok, take(runs.end, end), end)
+    return (end - begin).astype(jnp.int32)
+
+
+# run-hop window counting needs (3W+1) gather rounds; past this W the
+# searchsorted formulation wins (and W is 2 by default — see MATCH_WIN)
+_MAX_WALK_WIN = 8
+
+
 def match_core_sorted(table: jax.Array, counts: jax.Array,
                       hashesperid: jax.Array, qtimes: jax.Array,
                       qhashes: jax.Array, qvalid: jax.Array,
@@ -567,6 +633,7 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     d_s = k_s % nbins
     val_s = r_s < SD
     iota_h = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None], (B, H))
+    runs = _Runs.of(k_s)
 
     # per-hit dtmin of its candidate: value at the first index of its
     # rank run (d ascending within a run), propagated by cummax of starts
@@ -575,8 +642,14 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     start_idx = jax.lax.cummax(jnp.where(first, iota_h, 0), axis=1)
     dtmin_h = jnp.take_along_axis(d_s, start_idx, axis=1)
 
-    def window_count(center):
-        """#hits with same rank and |d - center| <= W, per hit."""
+    def window_count(center, left_hops, right_hops):
+        """#hits with same rank and |d - center| <= W, per hit.  Run-hop
+        formulation for small W (each _vss hides a (B, 2H) sort);
+        `left/right_hops` bound the distinct bins reachable on each side
+        of the hit's own bin for this center (see _window_hit_count)."""
+        if W <= _MAX_WALK_WIN:
+            return _window_hit_count(k_s, r_s, d_s, runs, center,
+                                     left_hops, right_hops, nbins, W)
         lo = _vss(k_s, r_s * nbins + jnp.maximum(center - W, 0), "left")
         hi = _vss(k_s, r_s * nbins + jnp.minimum(center + W, nbins - 1),
                   "right")
@@ -596,31 +669,39 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     if not mcfg.exact_count:
         # approx: evaluate the smear at every event point p = max(dtmin,
         # d - W); winner per candidate = (max count, then smallest p)
+        # center p = max(dtmin, d - W) ∈ [d - W, d]: bins in
+        # [p - W, d) span <= 2W values, bins in (d, p + W] span <= W
         p_h = jnp.maximum(dtmin_h, d_s - W)
-        s_h = window_count(p_h)
+        s_h = window_count(p_h, 2 * W, W)
         best, bpos = per_rank_best(s_h, p_h, val_s)
         filt = best[:, :SD, None]
         mode_bin = bpos[:, :SD, None]
         mode_ok = jnp.ones((B, SD, 1), bool)
     else:
-        # run (distinct (rank, bin)) boundaries and counts
-        run_lo = _vss(k_s, k_s, "left")
-        run_hi = _vss(k_s, k_s, "right")
+        # run (distinct (rank, bin)) boundaries and counts — straight from
+        # the scan-built run structure (was two _vss calls = two (B, 2H)
+        # sorts)
+        run_lo = runs.start
+        run_hi = runs.end
         c_h = (run_hi - run_lo).astype(jnp.int32)
         is_start = iota_h == run_lo
         # window max of run counts: walk up to W runs each side (distinct
-        # integer bins within +/-W = at most W runs per side)
+        # integer bins within +/-W = at most W runs per side); the
+        # neighbor run's extent comes from gathers of the run structure
+        # (was one _vss per step)
+        take = lambda arr, i: jnp.take_along_axis(  # noqa: E731
+            arr, jnp.clip(i, 0, H - 1), axis=1)
         nb_max = jnp.zeros((B, H), jnp.int32)
         idx_f = run_hi
         idx_b = run_lo - 1
         for _ in range(W):
-            kf = jnp.take_along_axis(k_s, jnp.minimum(idx_f, H - 1), axis=1)
+            kf = take(k_s, idx_f)
             okf = (idx_f < H) & (kf // nbins == r_s) & (kf % nbins - d_s <= W)
-            cf = (_vss(k_s, kf, "right") - idx_f).astype(jnp.int32)
+            cf = (take(runs.end, idx_f) - idx_f).astype(jnp.int32)
             nb_max = jnp.maximum(nb_max, jnp.where(okf, cf, 0))
             idx_f = idx_f + jnp.where(okf, cf, 0)
-            kb = jnp.take_along_axis(k_s, jnp.maximum(idx_b, 0), axis=1)
-            lob = _vss(k_s, kb, "left")
+            kb = take(k_s, idx_b)
+            lob = take(runs.start, idx_b)
             okb = (idx_b >= 0) & (kb // nbins == r_s) & (d_s - kb % nbins <= W)
             cb = (idx_b + 1 - lob).astype(jnp.int32)
             nb_max = jnp.maximum(nb_max, jnp.where(okb, cb, 0))
@@ -628,8 +709,9 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
         ismode = (is_start & val_s & (c_h >= max(1, mcfg.threshcount))
                   & (c_h >= nb_max))
 
-        # U(d) = C(d) - D(d) at each mode candidate (see docstring)
-        c_cov = window_count(d_s)
+        # U(d) = C(d) - D(d) at each mode candidate (see docstring);
+        # center d: <= W distinct bins on each side of the window
+        c_cov = window_count(d_s, W, W)
         # consecutive same-(query-row, candidate) pairs from the per-row
         # sort (a query hash's hits are contiguous rows of the (B, Q,
         # depth) layout)

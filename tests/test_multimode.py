@@ -319,18 +319,24 @@ def test_sorted_core_equals_hist_core(seed):
     for exact in (False, True):
         for timerange in (False, True):
             for sbt in (False, True):
-                mcfg = voting.MatchConfig(
-                    search_depth=8, max_returns=4, threshcount=1,
-                    exact_count=exact, find_time_range=timerange,
-                    sort_by_time=sbt, qt_cap=256, n_ids_cap=16)
-                a = voting.match_batch_sorted(
-                    table, counts, jnp.asarray(hpi), jnp.asarray(qt),
-                    jnp.asarray(qh), jnp.asarray(qv), TCFG, mcfg)
-                b = voting.match_batch_hist(table, counts, jnp.asarray(hpi),
-                                            jnp.asarray(qt), jnp.asarray(qh),
-                                            jnp.asarray(qv), TCFG, mcfg)
-                for k in a:
-                    np.testing.assert_array_equal(
-                        np.asarray(a[k]), np.asarray(b[k]),
-                        err_msg=f"{k} exact={exact} tr={timerange} "
-                                f"sbt={sbt} seed={seed}")
+                # window sweep: 1 and 3 hit the run-hop walk with different
+                # hop bounds; 9 > _MAX_WALK_WIN forces the searchsorted
+                # fallback — all must stay bit-identical to the hist core
+                for W in (1, 2, 3, 9) if (timerange, sbt) == (
+                        False, False) else (2,):
+                    mcfg = voting.MatchConfig(
+                        window=W,
+                        search_depth=8, max_returns=4, threshcount=1,
+                        exact_count=exact, find_time_range=timerange,
+                        sort_by_time=sbt, qt_cap=256, n_ids_cap=16)
+                    a = voting.match_batch_sorted(
+                        table, counts, jnp.asarray(hpi), jnp.asarray(qt),
+                        jnp.asarray(qh), jnp.asarray(qv), TCFG, mcfg)
+                    b = voting.match_batch_hist(
+                        table, counts, jnp.asarray(hpi), jnp.asarray(qt),
+                        jnp.asarray(qh), jnp.asarray(qv), TCFG, mcfg)
+                    for k in a:
+                        np.testing.assert_array_equal(
+                            np.asarray(a[k]), np.asarray(b[k]),
+                            err_msg=f"{k} exact={exact} tr={timerange} "
+                                    f"sbt={sbt} W={W} seed={seed}")
