@@ -126,6 +126,11 @@ class Matcher:
     # override on small-HBM targets (ADVICE r2).
     mem_budget_bytes: int | None = None
 
+    # Pin the single-device voting core ("hist" | "sorted"); None = choose
+    # by the memory envelope.  Both cores are bit-identical (tested) — this
+    # is a perf-harness hook, ignored on sharded meshes.
+    force_core: str | None = None
+
     def _budget_bytes(self) -> int:
         if self.mem_budget_bytes is not None:
             return self.mem_budget_bytes
@@ -195,7 +200,14 @@ class Matcher:
         budget = self._budget_bytes()
         per_row = self._voting_bytes_per_row(tcfg, qt_cap)
         core = "hist"
-        if per_row > budget:
+        if self.force_core is not None and mesh is None:
+            # benchmark/testing hook: pin the voting core regardless of the
+            # memory envelope (both cores are bit-identical; this exists so
+            # perf harnesses can A/B them on hardware)
+            core = self.force_core
+            if core == "sorted":
+                per_row = self._sorted_bytes_per_row(tcfg, Q)
+        elif per_row > budget:
             # even a single row's hist buffers exceed the envelope (very
             # long query x deep search): switch to the maxtime-independent
             # sorted core.  The sharded path has no psum-combinable sorted

@@ -308,10 +308,17 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
     #      max(1, threshcount) (oracle find_modes), chosen by (exact count
     #      desc, bin asc); each mode becomes its own result row.
     dtbin_f = jnp.clip(dt_f + mcfg.qt_cap, 0, nbins - 1)
-    hist = sum_all(jnp.zeros((B, SD + 1, nbins), jnp.int32).at[
-        bidx, rank_f, dtbin_f].add(v_f.astype(jnp.int32))[:, :SD])
+    # int16 histogram when counts provably fit (every bin count and every
+    # windowed sum is bounded by H, the total hits per query): halves the
+    # memory traffic of the dominant scatter-add and of the (B, SD, nbins)
+    # smear reads.  int32 for very long queries (H >= 2^15) and under
+    # shard_map (the psum combiner keeps the portable dtype).
+    hdt = (jnp.int16 if H < (1 << 15) and sum_all is _ident
+           else jnp.int32)
+    hist = sum_all(jnp.zeros((B, SD + 1, nbins), hdt).at[
+        bidx, rank_f, dtbin_f].add(v_f.astype(hdt))[:, :SD])
     binid = jnp.arange(nbins, dtype=jnp.int32)
-    zpad = jnp.zeros((B, SD, W), jnp.int32)
+    zpad = jnp.zeros((B, SD, W), hdt)
     histp = jnp.concatenate([zpad, hist, zpad], axis=-1)
     Mc = max(1, mcfg.modes_cap) if mcfg.exact_count else 1
 
@@ -405,7 +412,7 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
         sm = jnp.where(binid[None, None, :] >= dtmin[..., None], smeared, -1)
         mode_bin = jnp.argmax(sm, axis=-1).astype(jnp.int32)[..., None]
         mode_ok = jnp.ones((B, SD, 1), bool)
-        filt_approx = jnp.max(sm, axis=-1)
+        filt_approx = jnp.max(sm, axis=-1).astype(jnp.int32)
 
     # 4+5. per (candidate, mode slot): filtered count (exact counts already
     #      computed bin-wise above) and optional qtime quantile range
@@ -655,9 +662,48 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
                   "right")
         return (hi - lo).astype(jnp.int32)
 
+    # Per-candidate (max score, then min pos among maxima) reductions.
+    # The scatter formulation issues (B, H) updates into (B, SD+1) slots —
+    # extreme index conflicts, which TPU scatter serializes on.  Since k_s
+    # is rank-major sorted, rank segments are contiguous: a segmented
+    # running max (associative_scan with boundary resets) + one gather at
+    # each segment's end computes the same reduction scatter-free.  The
+    # (score, pos) pair packs into one int32 key when score < 2^16 and
+    # pos < 2^15 (score·2^15 + (2^15−1−pos): max key ⇔ max score then min
+    # pos) — guaranteed for ordinary shapes (score ≤ H hits, pos < nbins);
+    # otherwise fall back to the scatter form.
+    _PACK_OK = H < (1 << 16) and nbins <= (1 << 15)
+    rank_first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), r_s[:, 1:] != r_s[:, :-1]], axis=1)
+    if _PACK_OK:
+        # segment-end position per rank (shared by every reduction):
+        # end(r) = (#hits with rank <= r) - 1, via one searchsorted
+        ranks_q = jnp.broadcast_to(
+            jnp.arange(SD + 1, dtype=jnp.int32)[None], (B, SD + 1))
+        seg_end = _vss(r_s, ranks_q, "right") - 1
+        seg_ok = (seg_end >= 0) & (jnp.take_along_axis(
+            r_s, jnp.maximum(seg_end, 0), axis=1) == ranks_q)
+
+        def _seg_combine(x, y):
+            f1, v1 = x
+            f2, v2 = y
+            return f2 | f1, jnp.where(f2, v2, jnp.maximum(v1, v2))
+
     def per_rank_best(score, pos, valid):
         """Per candidate: max score, then min pos among the maxima.
         Returns (best_score (B, SD+1), best_pos (B, SD+1))."""
+        if _PACK_OK:
+            key = jnp.where(valid,
+                            score * (1 << 15) + ((1 << 15) - 1 - pos), -1)
+            _f, run = jax.lax.associative_scan(
+                _seg_combine, (rank_first, key), axis=1)
+            kend = jnp.where(seg_ok, jnp.take_along_axis(
+                run, jnp.maximum(seg_end, 0), axis=1), -1)
+            best = jnp.where(kend >= 0, kend >> 15, -1)
+            bpos = jnp.where(kend >= 0,
+                             (1 << 15) - 1 - (kend & ((1 << 15) - 1)),
+                             _I32MAX)
+            return best, bpos
         s_safe = jnp.where(valid, score, -1)
         best = jnp.full((B, SD + 1), -1, jnp.int32).at[
             bidx, r_s].max(s_safe)
@@ -746,8 +792,10 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
                 tscore = jnp.where(avail, nbins - 1 - d_s, -1)
                 best, bpos = per_rank_best(tscore, d_s, avail)
                 chosen = avail & (d_s == bpos[bidx, r_s])
-                uval = jnp.full((B, SD + 1), -1, jnp.int32).at[
-                    bidx, r_s].max(jnp.where(chosen, u_h, -1))
+                # all chosen hits of a rank share one (rank, bin) run and
+                # thus one u_h value — the same segmented reduction
+                # recovers it scatter-free
+                uval, _ = per_rank_best(u_h, d_s, chosen)
                 mode_bins.append(bpos[:, :SD])
                 mode_oks.append(best[:, :SD] >= 0)
                 mode_filts.append(uval[:, :SD])

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--ndev", type=int, default=1,
                     help="table-sharded matching over this many devices "
                          "(0 = all local devices)")
+    ap.add_argument("--core", choices=("hist", "sorted"), default=None,
+                    help="pin the voting core (A/B the two bit-identical "
+                         "formulations on hardware)")
     args = ap.parse_args()
 
     import audfprint_tpu.utils.jaxconfig as jc
@@ -51,6 +54,7 @@ def main():
         streams.append(h)
 
     m = Matcher(exact_count=args.exact, verbose=0, ndev=args.ndev)
+    m.force_core = args.core
     for B in args.batches:
         queries = []
         for b in range(B):
@@ -71,6 +75,7 @@ def main():
             best = min(best, time.time() - t0)
         print(json.dumps({
             "B": B, "exact": bool(args.exact), "ndev": args.ndev,
+            "core": args.core or "auto",
             "tracks": args.tracks,
             "total_hashes": int(ht.totalhashes()),
             "top1_self": round(float(top1), 3),
