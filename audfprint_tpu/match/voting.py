@@ -343,8 +343,8 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
         # (count desc, cand rank, bin asc) order.
         depth = tcfg.depth
         EXT = nbins + 2 * W + 2          # buffer index = bin + W
-        one = v_f.astype(jnp.int32)
-        diff = jnp.zeros((B, SD + 1, EXT), jnp.int32)
+        one = v_f.astype(hdt)            # |cell| and every cumsum <= H
+        diff = jnp.zeros((B, SD + 1, EXT), hdt)
         diff = diff.at[bidx, rank_f, dtbin_f].add(one)
         diff = diff.at[bidx, rank_f, dtbin_f + 2 * W + 1].add(-one)
         # sort each query row's hits by (candidate rank, dt) to expose
@@ -355,14 +355,14 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
         pair_ok = ((r_s[..., :-1] == r_s[..., 1:])
                    & (r_s[..., 1:] < SD)
                    & (d_s[..., 1:] - d_s[..., :-1] <= 2 * W))
-        pone = pair_ok.astype(jnp.int32)
+        pone = pair_ok.astype(hdt)
         rank_p = jnp.where(pair_ok, r_s[..., 1:], SD)
         bidx3 = jnp.broadcast_to(
             jnp.arange(B)[:, None, None], (B, Q, depth - 1))
         diff = diff.at[bidx3, rank_p, d_s[..., 1:]].add(-pone)
         diff = diff.at[bidx3, rank_p, d_s[..., :-1] + 2 * W + 1].add(pone)
         uext = jnp.cumsum(sum_all(diff[:, :SD]), axis=-1)
-        ucov = uext[..., W: W + nbins]                  # (B, SD, nbins)
+        ucov = uext[..., W: W + nbins].astype(jnp.int32)  # (B, SD, nbins)
 
         mode_bins, mode_oks, mode_filts = [], [], []
         if mcfg.sort_by_time:
@@ -432,11 +432,13 @@ def match_core(table: jax.Array, counts: jax.Array, hashesperid: jax.Array,
         else:
             filts.append(filt_approx)
         if mcfg.find_time_range:
+            # same int16 bound as the dt histogram: every count and every
+            # cumsum value is <= H aligned hits
             qthist = sum_all(
-                jnp.zeros((B, SD + 1, mcfg.qt_cap), jnp.int32).at[
+                jnp.zeros((B, SD + 1, mcfg.qt_cap), hdt).at[
                     bidx, rank_f, jnp.clip(qt_f, 0, mcfg.qt_cap - 1)].add(
-                    aligned.astype(jnp.int32))[:, :SD])
-            qcsum = jnp.cumsum(qthist, axis=-1)
+                    aligned.astype(hdt))[:, :SD])
+            qcsum = jnp.cumsum(qthist, axis=-1).astype(jnp.int32)
             nq = qcsum[..., -1]
             k0 = (mcfg.time_quantile
                   * nq.astype(jnp.float32)).astype(jnp.int32)
