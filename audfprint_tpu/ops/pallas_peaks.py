@@ -196,63 +196,28 @@ def _kernel(m0_hbm, nf_ref, env0f_ref, env0b_ref,
             pk = cbuf[slot, j]                         # (B, 128)
             sth[:] = jnp.where(t == nfb - 1, env0b_ref[:], sth[:])
             valid_t = t < nfb                          # (B,1)
-            # Within-frame acceptance is sequential (a kept peak masks
-            # later, weaker peaks of its own frame — oracle bwd_prune),
-            # but only through SCALARS: peak i's test value is
-            #   cur_i = max(sth0[p_i], max_{j<i, kept} v_j * G[p_j, p_i])
-            # so the (B, F)-wide work — the sth0 gather, all k bump rows,
-            # and every cross-peak bump sample b[j, i] — batches OUTSIDE
-            # the chain (round 3c; replaces k sequential gather + MXU +
-            # vector-max steps).  Bit-exact: identical single-product f32
-            # values, and max() is order-independent.
-            ps, vs, gots, hots = [], [], [], []
-            for i in range(k):
-                p = pk[:, i:i + 1].astype(jnp.int32)
+            kslots = []
+            # within-frame acceptance IS sequential here (a kept peak
+            # masks later, weaker peaks of its own frame — oracle
+            # bwd_prune), so the per-peak bump stays in the chain
+            for _i2 in range(k):
+                p = pk[:, _i2:_i2 + 1].astype(jnp.int32)
+                v = pk[:, 8 + _i2:9 + _i2]
                 got = p >= 0
-                ps.append(p)
-                vs.append(pk[:, 8 + i:9 + i])
-                gots.append(got)
-                hots.append((lane == p) & got)
-            hot_all = jnp.concatenate(hots, axis=0)          # (kB, F)
-            got_all = jnp.concatenate(gots, axis=0)
-            v_all = jnp.concatenate(vs, axis=0)
-            scaled = mxu_bump(hot_all, got_all) * jnp.where(
-                got_all, v_all, 0.0)                         # (kB, F)
-            # sth0 at every peak position: one batched reduce
-            sth_t = jnp.concatenate([sth[:]] * k, axis=0)    # (kB, F)
-            sth0p = jnp.max(jnp.where(hot_all, sth_t, neg), axis=1,
-                            keepdims=True)                   # (kB, 1)
-            # b[j, i] = scaled_j[p_i]: k batched reduces (j-major rows)
-            bji = []                                         # bji[i]: (kB,1)
-            for i in range(1, k):
-                hot_i = jnp.concatenate([hots[i]] * k, axis=0)
-                bji.append(jnp.max(jnp.where(hot_i, scaled, neg),
-                                   axis=1, keepdims=True))
-            # scalar acceptance chain over (B, 1) values
-            keeps = []
-            for i in range(k):
-                cur = sth0p[i * B:(i + 1) * B]
-                for jj in range(i):
-                    cand = jnp.where(keeps[jj], bji[i - 1][jj * B:(jj + 1) * B],
-                                     neg)
-                    cur = jnp.maximum(cur, cand)
-                keeps.append(gots[i] & valid_t & (vs[i] >= cur))
-            keep_all = jnp.concatenate(keeps, axis=0)        # (kB, 1)
-            newenv = jnp.where(keep_all[0:B], scaled[0:B], 0.0)
-            for i in range(1, k):
-                newenv = jnp.maximum(
-                    newenv, jnp.where(keep_all[i * B:(i + 1) * B],
-                                      scaled[i * B:(i + 1) * B], 0.0))
-            sth[:] = jnp.maximum(sth[:], newenv) * a
+                onehot = (lane == p) & got
+                cur = jnp.max(jnp.where(onehot, sth[:], neg), axis=1,
+                              keepdims=True)
+                keep = got & valid_t & (v >= cur)
+                contrib = mxu_bump(onehot, keep) * jnp.where(keep, v, 0.0)
+                sth[:] = jnp.maximum(sth[:], contrib)
+                kslots.append(jnp.where(keep, p.astype(jnp.float32), -1.0))
+            sth[:] = sth[:] * a
             # compact kept list out: pos in lanes 0..k-1 (f32, exact below
             # 2^24; -1 = not kept), extraction order — same layout as the
             # fwd interchange
             out = jnp.zeros((B, 128), jnp.float32)
             for i in range(k):
-                out = jnp.where(
-                    lane128 == i,
-                    jnp.where(keeps[i], ps[i].astype(jnp.float32), -1.0),
-                    out)
+                out = jnp.where(lane128 == i, kslots[i], out)
             kbuf[slot, j] = out
         dma_kept_out(slot, c).start()
         return 0
