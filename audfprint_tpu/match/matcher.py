@@ -148,19 +148,24 @@ class Matcher:
             self._auto_budget = cached
         return cached
 
-    def _voting_bytes_per_row(self, tcfg, qt_cap: int) -> int:
+    def _voting_bytes_per_row(self, tcfg, qt_cap: int, Q: int = 0) -> int:
         """Hist-core footprint estimate: bin-domain buffers per query row.
 
-        exact-count materializes up to ~6 live (SD+1)-row bin-domain int32
+        exact-count materializes up to ~6 live (SD+1)-row bin-domain
         arrays (hist, wmax, the EXT diff array, its cumsum, the coverage
         view, and the selection score); approx ~3 (hist, padded smear
-        accumulator, masked-score)."""
+        accumulator, masked-score).  The core runs those buffers in int16
+        whenever every count provably fits (H = Q·depth < 2^15, see
+        voting.match_core), so size them at 2 bytes then — otherwise the
+        envelope would split batches twice as often as the memory
+        actually requires."""
         SD = self.search_depth
         nbins = tcfg.maxtime + qt_cap
         n_hist = 6 if self.exact_count else 3
-        per = n_hist * (SD + 1) * nbins * 4
+        itemsize = 2 if (Q and Q * tcfg.depth < (1 << 15)) else 4
+        per = n_hist * (SD + 1) * nbins * itemsize
         if self.find_time_range:
-            per += (SD + 1) * qt_cap * 4
+            per += (SD + 1) * qt_cap * itemsize
         return per
 
     @staticmethod
@@ -198,7 +203,7 @@ class Matcher:
         # a single row's hist buffers would blow the budget (very long
         # queries / deep searches, where the buffers cannot exist at all)
         budget = self._budget_bytes()
-        per_row = self._voting_bytes_per_row(tcfg, qt_cap)
+        per_row = self._voting_bytes_per_row(tcfg, qt_cap, Q)
         core = "hist"
         if self.force_core is not None and mesh is None:
             # benchmark/testing hook: pin the voting core regardless of the

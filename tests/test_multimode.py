@@ -253,7 +253,9 @@ def test_memory_budget_prefers_hist_splitting(capsys):
     want = m.match_hashes_batch(ht, queries)
     m2 = Matcher(threshcount=5, search_depth=8)
     # budget sized for ~2 rows of hist buffers: per_row fits, 4 rows don't
-    m2.mem_budget_bytes = 2 * m2._voting_bytes_per_row(TCFG, 2048)
+    # (Q=128 — the matcher's padding floor — so the estimate matches the
+    # int16 sizing the dispatch itself will use)
+    m2.mem_budget_bytes = 2 * m2._voting_bytes_per_row(TCFG, 2048, 128)
     got = m2.match_hashes_batch(ht, queries)
     out = capsys.readouterr().out
     assert "hist voting core" in out and "sub-batches of 2" in out
