@@ -107,6 +107,13 @@ def make_parser() -> argparse.ArgumentParser:
            "that landmark dt/df quantization inherently misses "
            "(capability beyond the reference; default off keeps output "
            "bit-identical)")
+    a("--listen", action="store_true",
+      help="match: serving loop — read query paths from stdin (one per "
+           "line), match each against the warm cached device table, and "
+           "emit its result lines immediately (flushed). After the first "
+           "query warms the compiled graphs, per-query cost is decode + "
+           "one device dispatch. EOF ends; blank lines are ignored "
+           "(capability beyond the reference)")
     a("--profile", type=str, default=None,
       help="write a jax.profiler trace to this directory")
     a("--json-metrics", dest="json_metrics", type=str, default=None,
@@ -474,6 +481,32 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
     return n_done, tot_dur
 
 
+def do_listen(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
+              args, report, stages: Stages, out_f,
+              stream=None) -> tuple[int, float]:
+    """`match --listen`: a stdin-driven serving loop (beyond the reference).
+
+    Reads one query path per line, matches it against the device-resident
+    table (uploaded once, cached across queries by Matcher._device_state),
+    and emits its result lines immediately — each query's output is flushed
+    before the next line is read, so a driving process can pipeline
+    requests.  The first query pays graph compilation; every later one is
+    decode + a single device dispatch.  Blank lines are skipped, EOF ends
+    the loop.  Precomputed `.afpt`/`.afpk` inputs work exactly as in batch
+    mode (same do_match path)."""
+    stream = stream if stream is not None else sys.stdin
+    n_files, tot_dur = 0, 0.0
+    for line in stream:
+        name = line.strip()
+        if not name:
+            continue
+        n, d = do_match(ht, analyzer, matcher, [name], args, report, stages)
+        n_files += n
+        tot_dur += d
+        (out_f or sys.stdout).flush()
+    return n_files, tot_dur
+
+
 def main(argv=None) -> int:
     import audfprint_tpu.utils.jaxconfig as jaxconfig
     jaxconfig.setup()
@@ -531,8 +564,12 @@ def main(argv=None) -> int:
         n_files, tot_dur = do_precompute(analyzer, names, args, report)
     elif cmd == "match":
         _check_params(ht, analyzer, report)
-        n_files, tot_dur = do_match(ht, analyzer, matcher, names, args,
-                                    report, stages)
+        if args.listen:
+            n_files, tot_dur = do_listen(ht, analyzer, matcher, args,
+                                         report, stages, out_f)
+        else:
+            n_files, tot_dur = do_match(ht, analyzer, matcher, names, args,
+                                        report, stages)
     elif cmd in ("merge", "newmerge"):
         for name in names:
             other = HashTable(name)

@@ -412,3 +412,62 @@ def test_speed_sweep_recovers_offspeed_query(fixture_dir, tmp_path, capsys):
         g = re.search(r"with (\d+) of \d+ common hashes at rank 0", out)
         return int(g.group(1)) if g else 0
     assert aligned(swept) > aligned(plain), (plain, swept)
+
+
+def test_match_listen_serving_loop(fixture_dir, tmp_path, capsys,
+                                   monkeypatch):
+    """--listen: queries stream in over stdin one path per line; each
+    emits its result lines (flushed) before the next is read, against the
+    once-uploaded cached device table.  Output must equal the batch-mode
+    output for the same inputs, in input order."""
+    import io
+
+    db = tmp_path / "listen.pklz"
+    _run(capsys, ["new", "-d", db, *COMMON,
+                  *(fixture_dir / f"track{i}.wav" for i in range(3))])
+    q1 = str(fixture_dir / "query.wav")
+    q2 = str(fixture_dir / "noise.wav")
+
+    batch = _run(capsys, ["match", "-d", db, *COMMON, q1, q2])
+    monkeypatch.setattr("sys.stdin", io.StringIO(f"{q1}\n\n{q2}\n"))
+    served = _run(capsys, ["match", "-d", db, *COMMON, "--listen"])
+
+    def result_lines(out):
+        return [ln for ln in out.splitlines()
+                if ln.startswith(("Matched", "NOMATCH"))]
+    assert result_lines(served) == result_lines(batch)
+    assert "Matched" in served and "NOMATCH" in served
+    # the summary line counts the streamed queries
+    assert re.search(r"Processed 2 files \(6\.0 s total dur\)", served)
+
+
+def test_match_listen_opfile_flushes_per_query(fixture_dir, tmp_path,
+                                               capsys, monkeypatch):
+    """With -o, each query's lines are flushed to the opfile before the
+    next stdin line is consumed (a driver can pipeline requests)."""
+    import io
+
+    db = tmp_path / "listenf.pklz"
+    _run(capsys, ["new", "-d", db, *COMMON, fixture_dir / "track1.wav"])
+    q1 = str(fixture_dir / "query.wav")
+    opfile = tmp_path / "served.txt"
+
+    snapshots = []          # opfile contents at each stdin read
+
+    class Probe(io.StringIO):
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            snapshots.append(opfile.read_text() if opfile.exists() else "")
+            line = self.readline()
+            if not line:
+                raise StopIteration
+            return line
+
+    monkeypatch.setattr("sys.stdin", Probe(f"{q1}\n{q1}\n"))
+    _run(capsys, ["match", "-d", db, *COMMON, "-o", opfile, "--listen"])
+    # when the SECOND line was consumed, the first query's result had
+    # already been flushed to the opfile
+    assert len(snapshots) == 3 and "Matched" in snapshots[1], snapshots
+    assert opfile.read_text().count("Matched") == 2
