@@ -493,17 +493,27 @@ def do_listen(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
     requests.  The first query pays graph compilation; every later one is
     decode + a single device dispatch.  Blank lines are skipped, EOF ends
     the loop.  Precomputed `.afpt`/`.afpk` inputs work exactly as in batch
-    mode (same do_match path)."""
+    mode (same do_match path).
+
+    A bad request (missing/corrupt file) must not kill the service: the
+    loop forces the reference's --continue-on-error behavior per line
+    ("Error reading <name>: ..." is reported, the loop continues)."""
     stream = stream if stream is not None else sys.stdin
+    prev_fail = analyzer.fail_on_error
+    analyzer.fail_on_error = False
     n_files, tot_dur = 0, 0.0
-    for line in stream:
-        name = line.strip()
-        if not name:
-            continue
-        n, d = do_match(ht, analyzer, matcher, [name], args, report, stages)
-        n_files += n
-        tot_dur += d
-        (out_f or sys.stdout).flush()
+    try:
+        for line in stream:
+            name = line.strip()
+            if not name:
+                continue
+            n, d = do_match(ht, analyzer, matcher, [name], args, report,
+                            stages)
+            n_files += n
+            tot_dur += d
+            (out_f or sys.stdout).flush()
+    finally:
+        analyzer.fail_on_error = prev_fail
     return n_files, tot_dur
 
 

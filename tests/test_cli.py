@@ -440,6 +440,13 @@ def test_match_listen_serving_loop(fixture_dir, tmp_path, capsys,
     # the summary line counts the streamed queries
     assert re.search(r"Processed 2 files \(6\.0 s total dur\)", served)
 
+    # a bad request must not kill the service (forced continue-on-error):
+    # the error is reported and later lines still serve
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO(f"{tmp_path}/nope.wav\n{q1}\n"))
+    served = _run(capsys, ["match", "-d", db, *COMMON, "--listen"])
+    assert "Error reading" in served and "Matched" in served
+
 
 def test_match_listen_opfile_flushes_per_query(fixture_dir, tmp_path,
                                                capsys, monkeypatch):
