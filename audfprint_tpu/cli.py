@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import queue
 import sys
 import threading
 import time
@@ -109,11 +110,12 @@ def make_parser() -> argparse.ArgumentParser:
            "bit-identical)")
     a("--listen", action="store_true",
       help="match: serving loop — read query paths from stdin (one per "
-           "line), match each against the warm cached device table, and "
-           "emit its result lines immediately (flushed). After the first "
-           "query warms the compiled graphs, per-query cost is decode + "
-           "one device dispatch. EOF ends; blank lines are ignored "
-           "(capability beyond the reference)")
+           "line), match against the warm cached device table, and emit "
+           "result lines immediately (flushed), in input order. Pending "
+           "lines are drained and served as ONE device batch (up to "
+           "--batchsize): interactive callers keep single-query latency, "
+           "backlogged pipes get batched-match throughput. EOF ends; "
+           "blank lines are ignored (capability beyond the reference)")
     a("--profile", type=str, default=None,
       help="write a jax.profiler trace to this directory")
     a("--json-metrics", dest="json_metrics", type=str, default=None,
@@ -488,12 +490,20 @@ def do_listen(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
 
     Reads one query path per line, matches it against the device-resident
     table (uploaded once, cached across queries by Matcher._device_state),
-    and emits its result lines immediately — each query's output is flushed
-    before the next line is read, so a driving process can pipeline
-    requests.  The first query pays graph compilation; every later one is
-    decode + a single device dispatch.  Blank lines are skipped, EOF ends
-    the loop.  Precomputed `.afpt`/`.afpk` inputs work exactly as in batch
-    mode (same do_match path).
+    and emits its result lines (flushed) in input order.  The first query
+    pays graph compilation; every later one is decode + device dispatch.
+    Blank lines are skipped, EOF ends the loop.  Precomputed
+    `.afpt`/`.afpk` inputs work exactly as in batch mode (same do_match
+    path).
+
+    Dynamic batching: a reader thread feeds a queue; each serving
+    iteration drains every line already waiting (up to --batchsize) and
+    matches the group as ONE device batch.  An interactive caller
+    (write one path, wait for the result) sees single-query latency
+    unchanged — the drain finds nothing pending and serves immediately —
+    while a backlogged pipe rides the batched match path's much higher
+    throughput, converging on the one-dispatch-per-batch rate instead of
+    one dispatch per query.
 
     A bad request (missing/corrupt file) must not kill the service: the
     loop forces the reference's --continue-on-error behavior per line
@@ -502,12 +512,39 @@ def do_listen(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
     prev_fail = analyzer.fail_on_error
     analyzer.fail_on_error = False
     n_files, tot_dur = 0, 0.0
-    try:
+    lines: queue.Queue = queue.Queue()
+    _EOF = object()
+
+    def _reader():
         for line in stream:
-            name = line.strip()
-            if not name:
+            lines.put(line)
+        lines.put(_EOF)
+
+    threading.Thread(target=_reader, daemon=True).start()
+    cap = max(1, args.batchsize)
+    eof = False
+    try:
+        while not eof:
+            item = lines.get()
+            if item is _EOF:
+                break
+            names = []
+            while True:
+                name = item.strip()
+                if name:
+                    names.append(name)
+                if len(names) >= cap:
+                    break
+                try:
+                    item = lines.get_nowait()
+                except queue.Empty:
+                    break
+                if item is _EOF:
+                    eof = True
+                    break
+            if not names:
                 continue
-            n, d = do_match(ht, analyzer, matcher, [name], args, report,
+            n, d = do_match(ht, analyzer, matcher, names, args, report,
                             stages)
             n_files += n
             tot_dur += d

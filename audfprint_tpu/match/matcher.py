@@ -229,7 +229,16 @@ class Matcher:
                 mesh = None
             core = "sorted"
             per_row = self._sorted_bytes_per_row(tcfg, Q)
-        bsub = min(B, max(1, budget // max(1, per_row)))
+        # sub-batch size is a POWER OF TWO, not B itself: callers with
+        # varying batch sizes (the --listen loop's dynamic batching drains
+        # whatever backlog is pending) must share O(log B) compiled graphs
+        # instead of compiling one per distinct B — the tail chunk is
+        # padded with empty rows below, trading cheap compute for the
+        # expensive resource (TPU compiles)
+        cap = max(1, budget // max(1, per_row))
+        bsub = _next_pow2(B)
+        if bsub > cap:
+            bsub = 1 << max(0, cap.bit_length() - 1)
         if (core == "sorted" or bsub < B) and self.verbose:
             print(f"Note: using the {core} voting core, "
                   f"splitting {B} queries into sub-batches of {bsub} "

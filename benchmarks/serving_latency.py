@@ -1,0 +1,178 @@
+"""Serving-latency benchmark: `match --listen` driven as a real subprocess.
+
+The reference has no serving story at all — one process per `match`
+invocation pays interpreter + DB-load + analysis setup every time
+(audfprint.py:~400-490).  This rebuild's `--listen` loop keeps the device
+table uploaded and the compiled graphs warm across queries, so per-query
+cost is decode + one device dispatch.  This harness measures what a
+production caller actually sees:
+
+  * spawn `python -m audfprint_tpu match -d db.afdb --listen` once,
+  * feed one query WAV path per stdin line,
+  * clock write-line -> result-line ("Matched"/"NOMATCH") round trips,
+  * report p50 / p90 / p99 latency and sustained q/s.
+
+Warmup uses a DISJOINT warm query set drawn from the same distribution:
+same-shape queries warm every padded-graph bucket (5 s clips straddle the
+matcher's Q=128/256 hash-count buckets, so a fixed leading-K warm leaves
+late first-in-bucket compiles inside the measurement window), while
+distinct audio keeps the relay's execution memoization out of the timed
+pass (identical re-executions return without running; see bench.py).
+
+Run:  python benchmarks/serving_latency.py [--tracks 200] [--queries 64]
+      [--db-format afdb|pklz]
+Prints one JSON line.  Works on CPU (small defaults) and on the TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import synth_batch  # noqa: E402
+
+SR = 11025
+
+
+def build_fixture(d: str, n_tracks: int, track_dur: float, n_queries: int,
+                  q_dur: float, db_format: str, n_warm: int,
+                  n_flood: int = 0):
+    """DB + query WAVs on disk, exactly as a deployment would have them.
+
+    Returns (db, warm, measured, flood) — disjoint clips from the same
+    tracks/duration distribution (see module docstring)."""
+    from audfprint_tpu.index.hash_table import HashTable
+    from audfprint_tpu.models.analyzer import Analyzer
+    from audfprint_tpu.utils.audio import audio_write_wav
+
+    an = Analyzer()
+    tracks = [synth_batch(1, int(track_dur * SR), seed=7 * 100003 + i)[0]
+              for i in range(n_tracks)]
+    ht = HashTable()
+    for i, h in enumerate(an.samples_batch2hashes(tracks)):
+        ht.store_vectorized(f"t{i}", h)
+    db = os.path.join(d, "serve." + db_format)
+    ht.save(db)
+
+    rng = np.random.default_rng(11)
+    queries = []
+    for i in range(n_warm + n_queries + n_flood):
+        ti = int(rng.integers(0, n_tracks))
+        s = int(rng.integers(0, int((track_dur - q_dur) * SR)))
+        p = os.path.join(d, f"q{i}.wav")
+        audio_write_wav(p, tracks[ti][s: s + int(q_dur * SR)], SR)
+        queries.append(p)
+    return (db, queries[:n_warm], queries[n_warm: n_warm + n_queries],
+            queries[n_warm + n_queries:])
+
+
+def serve_and_time(db: str, warm: list[str], queries: list[str],
+                   flood: list[str] | None = None) -> dict:
+    env = dict(os.environ)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "audfprint_tpu", "match", "-d", db,
+         "--listen"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env)
+
+    def roundtrip(q: str) -> float:
+        t0 = time.time()
+        proc.stdin.write(q + "\n")
+        proc.stdin.flush()
+        while True:
+            line = proc.stdout.readline()
+            if not line:
+                raise RuntimeError("server exited early")
+            if line.startswith(("Matched", "NOMATCH")):
+                return time.time() - t0
+
+    def flood_once(qs: list[str]) -> float:
+        # backlog: every line lands at once, so the serving loop's
+        # dynamic batching coalesces them into few device batches —
+        # this is the "pipe under load" rate
+        t0 = time.time()
+        for q in qs:
+            proc.stdin.write(q + "\n")
+        proc.stdin.flush()
+        got = 0
+        while got < len(qs):
+            line = proc.stdout.readline()
+            if not line:
+                raise RuntimeError("server exited early")
+            if line.startswith(("Matched", "NOMATCH")):
+                got += 1
+        return time.time() - t0
+
+    try:
+        warm_lat = [roundtrip(q) for q in warm]
+        t_start = time.time()
+        lat = np.array([roundtrip(q) for q in queries])
+        steady = time.time() - t_start
+        flood_qps = None
+        if flood:
+            # first flood warms the batched-graph buckets (a backlog
+            # dispatches at batch sizes the one-at-a-time warm never
+            # compiled); the timed flood uses the disjoint second half
+            half = len(flood) // 2
+            flood_once(flood[:half])
+            flood_qps = round((len(flood) - half) /
+                              flood_once(flood[half:]), 1)
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=60)
+    out = {
+        "queries": len(queries), "warm_queries": len(warm),
+        "first_query_s": round(warm_lat[0], 2) if warm_lat else None,
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+        "p90_ms": round(float(np.percentile(lat, 90)) * 1e3, 1),
+        "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
+        "max_ms": round(float(lat.max()) * 1e3, 1),
+        "steady_qps": round(len(queries) / steady, 1),
+    }
+    if flood_qps is not None:
+        out["flood_queries"] = len(flood)
+        out["flood_qps"] = flood_qps
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tracks", type=int, default=200)
+    ap.add_argument("--track-dur", type=float, default=20.0)
+    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--warm", type=int, default=16,
+                    help="disjoint warm queries served before timing "
+                         "(warms every padded-graph bucket)")
+    ap.add_argument("--flood", type=int, default=64,
+                    help="after the latency pass, write this many fresh "
+                         "query lines at once and measure backlog q/s "
+                         "(the dynamic-batching path); 0 disables")
+    ap.add_argument("--q-dur", type=float, default=5.0)
+    ap.add_argument("--db-format", choices=["afdb", "pklz"],
+                    default="afdb",
+                    help="afdb = mmap snapshot (millisecond DB open; the "
+                         "serving-mode format)")
+    args = ap.parse_args()
+    import audfprint_tpu.utils.jaxconfig as jc
+    jc.setup()
+    with tempfile.TemporaryDirectory() as d:
+        db, warm, queries, flood = build_fixture(
+            d, args.tracks, args.track_dur, args.queries, args.q_dur,
+            args.db_format, args.warm, args.flood)
+        out = serve_and_time(db, warm, queries, flood)
+    out.update({"bench": "serving_latency", "tracks": args.tracks,
+                "db_format": args.db_format})
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,7 @@
 
 import os
 import re
+import time
 
 import numpy as np
 import pytest
@@ -450,8 +451,11 @@ def test_match_listen_serving_loop(fixture_dir, tmp_path, capsys,
 
 def test_match_listen_opfile_flushes_per_query(fixture_dir, tmp_path,
                                                capsys, monkeypatch):
-    """With -o, each query's lines are flushed to the opfile before the
-    next stdin line is consumed (a driver can pipeline requests)."""
+    """With -o, an INTERACTIVE caller (write a path, wait for its result,
+    write the next) sees each query's lines flushed to the opfile before
+    it sends the next request — the dynamic-batching drain must serve an
+    empty backlog immediately, never wait for more input (a write→wait
+    driver would otherwise deadlock)."""
     import io
 
     db = tmp_path / "listenf.pklz"
@@ -459,22 +463,72 @@ def test_match_listen_opfile_flushes_per_query(fixture_dir, tmp_path,
     q1 = str(fixture_dir / "query.wav")
     opfile = tmp_path / "served.txt"
 
-    snapshots = []          # opfile contents at each stdin read
+    class Interactive(io.StringIO):
+        """Yields line i+1 only after query i's result reached the opfile
+        (exactly how a request/response driver behaves)."""
 
-    class Probe(io.StringIO):
+        sent = 0
+
         def __iter__(self):
             return self
 
         def __next__(self):
-            snapshots.append(opfile.read_text() if opfile.exists() else "")
+            deadline = time.time() + 120
+            while self.sent > 0:
+                txt = opfile.read_text() if opfile.exists() else ""
+                if txt.count("Matched") >= self.sent:
+                    break
+                assert time.time() < deadline, "serving loop stalled"
+                time.sleep(0.01)
             line = self.readline()
             if not line:
                 raise StopIteration
+            self.sent += 1
             return line
 
-    monkeypatch.setattr("sys.stdin", Probe(f"{q1}\n{q1}\n"))
+    monkeypatch.setattr("sys.stdin", Interactive(f"{q1}\n{q1}\n{q1}\n"))
     _run(capsys, ["match", "-d", db, *COMMON, "-o", opfile, "--listen"])
-    # when the SECOND line was consumed, the first query's result had
-    # already been flushed to the opfile
-    assert len(snapshots) == 3 and "Matched" in snapshots[1], snapshots
-    assert opfile.read_text().count("Matched") == 2
+    assert opfile.read_text().count("Matched") == 3
+
+
+def test_match_listen_batches_backlog(fixture_dir, tmp_path, capsys,
+                                      monkeypatch):
+    """A backlogged stdin (all lines already queued) is served in batched
+    do_match calls — far fewer dispatches than queries — with result
+    order still exactly the input order."""
+    import io
+
+    from audfprint_tpu import cli as cli_mod
+
+    db = tmp_path / "listenb.pklz"
+    _run(capsys, ["new", "-d", db, *COMMON,
+                  *(fixture_dir / f"track{i}.wav" for i in range(3))])
+    q1 = str(fixture_dir / "query.wav")
+    q2 = str(fixture_dir / "noise.wav")
+    queries = [q1, q2, q1, q1, q2, q1]
+
+    calls = []
+    real_do_match = cli_mod.do_match
+
+    def probe(ht, analyzer, matcher, names, *a, **kw):
+        if not calls:
+            time.sleep(0.05)   # let the reader thread enqueue the backlog
+        calls.append(list(names))
+        return real_do_match(ht, analyzer, matcher, names, *a, **kw)
+
+    monkeypatch.setattr(cli_mod, "do_match", probe)
+    monkeypatch.setattr("sys.stdin", io.StringIO("".join(
+        q + "\n" for q in queries)))
+    served = _run(capsys, ["match", "-d", db, *COMMON, "--listen"])
+
+    # all queries served, in order, and the backlog coalesced: the 5
+    # post-warm queries arrive in at most 2 batches (first call may run
+    # before the reader catches up, everything after it is batched)
+    assert [n for c in calls for n in c] == queries
+    assert len(calls) <= 3, calls
+    got = [ln for ln in served.splitlines()
+           if ln.startswith(("Matched", "NOMATCH"))]
+    assert len(got) == len(queries)
+    assert [("NOMATCH" if ln.startswith("NOMATCH") else "Matched")
+            for ln in got] == ["Matched", "NOMATCH", "Matched", "Matched",
+                               "NOMATCH", "Matched"]
