@@ -28,6 +28,8 @@ import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
+import numpy as np
+
 
 from audfprint_tpu import params as P
 from audfprint_tpu.index.hash_table import HashTable
@@ -108,6 +110,16 @@ def make_parser() -> argparse.ArgumentParser:
            "that landmark dt/df quantization inherently misses "
            "(capability beyond the reference; default off keeps output "
            "bit-identical)")
+    a("--windowed", type=float, default=0.0, metavar="SEC",
+      help="match: broadcast-monitoring mode — slice each (long) query "
+           "into SEC-second windows (hash-domain slicing after ONE "
+           "fingerprint pass; all windows matched as one device batch) "
+           "and report each window's matches as '<query> t=<start>s'. "
+           "Finds every DB track occurring anywhere inside a long "
+           "recording (capability beyond the reference)")
+    a("--window-hop", dest="window_hop", type=float, default=0.0,
+      metavar="SEC", help="match --windowed: window hop in seconds "
+                          "(default SEC/2, 50%% overlap)")
     a("--listen", action="store_true",
       help="match: serving loop — read query paths from stdin (one per "
            "line), match against the warm cached device table, and emit "
@@ -453,12 +465,55 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
     chunks = [names[i: i + B] for i in range(0, len(names), B)]
     pct = getattr(args, "speed_sweep", 0.0)
 
+    wsec = getattr(args, "windowed", 0.0)
+    whop = getattr(args, "window_hop", 0.0)
+
+    def _explode_windows(rows):
+        """Broadcast-monitoring mode (--windowed W [--window-hop H]): slice
+        each query's hashes into overlapping time windows IN THE HASH
+        DOMAIN — one fingerprint pass over the whole input (the streaming
+        kernel is T-unbounded), then every window rides the same batched
+        device match.  Query hash times are raw frame counts (the
+        mod-maxtime wrap happens at store packing), so windowing works for
+        arbitrarily long inputs.  Returns (label, hashes, win_dur) rows."""
+        fps = analyzer.target_sr / float(analyzer.n_hop)
+        ww = max(1, int(round(wsec * fps)))
+        hh = max(1, int(round((whop if whop > 0 else wsec / 2) * fps)))
+        out = []
+        for name, h, dur in rows:
+            nf = max(1, int(round(dur * fps)))
+            starts = list(range(0, max(1, nf - ww + 1), hh))
+            # cover the tail remainder — but only when the extra window is
+            # meaningfully offset from the last grid window (a few-frame
+            # remainder would just duplicate its matches)
+            if nf - ww - starts[-1] >= max(1, hh // 2):
+                starts.append(nf - ww)
+            h = np.asarray(h).reshape(-1, 2)
+            for t0 in starts:
+                sel = h[(h[:, 0] >= t0) & (h[:, 0] < t0 + ww)].copy()
+                sel[:, 0] -= t0
+                label = f"{name} t={t0 / fps:.1f}s"
+                out.append((label, sel, min(ww, nf - t0) / fps))
+        return out
+
     def consume(ordered, handle):
         nonlocal tot_dur, n_done
         with stages.time("analyze"):
             hashes = iter(analyzer.fingerprint_resolve(handle))
         rows = _resolve_chunk(analyzer, ordered, hashes, report)
         if not rows:
+            return
+        if wsec > 0:
+            n_done += len(rows)
+            tot_dur += sum(dur for _, _, dur in rows)
+            wrows = _explode_windows(rows)
+            with stages.time("match"):
+                wres = matcher.match_hashes_batch(
+                    ht, [h for _, h, _ in wrows])
+            for (label, h, wdur), rrows in zip(wrows, wres):
+                for msg in matcher.results_to_msgs(rrows, wdur, len(h),
+                                                   analyzer, ht, label):
+                    report(msg)
             return
         base = [h for _, h, _ in rows]
         # --speed-sweep: the decoded samples ride along in `ordered`;
@@ -589,6 +644,12 @@ def main(argv=None) -> int:
     names = list(filename_list_iterator(
         args.file, args.wavdir, args.wavext, args.listflag))
 
+    if args.windowed > 0 and args.speed_sweep > 0:
+        # the sweep needs decoded samples per variant; windows are sliced
+        # in the hash domain after one fingerprint pass — incompatible
+        print("--windowed cannot be combined with --speed-sweep",
+              file=sys.stderr)
+        return 2
     if cmd in ("new", "newmerge", "add", "match", "merge", "list",
                "remove") and not args.dbase:
         print("a --dbase is required for " + cmd, file=sys.stderr)

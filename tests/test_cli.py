@@ -491,6 +491,49 @@ def test_match_listen_opfile_flushes_per_query(fixture_dir, tmp_path,
     assert opfile.read_text().count("Matched") == 3
 
 
+def test_match_windowed_monitoring(fixture_dir, tmp_path, capsys):
+    """--windowed W: a long recording containing two different DB tracks
+    (with dead air between them) reports each track in the window where
+    it occurs, labeled '<query> t=<start>s' — the broadcast-monitoring
+    mode.  Windows are sliced in the hash domain after one fingerprint
+    pass, so every window shares one batched device match."""
+    from audfprint_tpu.utils.audio import audio_read
+
+    db = tmp_path / "mon.pklz"
+    _run(capsys, ["new", "-d", db, *COMMON,
+                  *(fixture_dir / f"track{i}.wav" for i in range(3))])
+
+    t0, _ = audio_read(str(fixture_dir / "track0.wav"), sr=SR)
+    t2, _ = audio_read(str(fixture_dir / "track2.wav"), sr=SR)
+    rng = np.random.default_rng(5)
+    stream = np.concatenate([
+        t0[: 4 * SR],
+        0.01 * rng.standard_normal(4 * SR).astype(np.float32),
+        t2[SR: 5 * SR],
+    ])
+    rec = tmp_path / "broadcast.wav"
+    audio_write_wav(str(rec), stream, SR)
+
+    out = _run(capsys, ["match", "-d", db, *COMMON,
+                        "--windowed", "4", "--window-hop", "2", rec])
+    lines = [ln for ln in out.splitlines()
+             if ln.startswith(("Matched", "NOMATCH"))]
+    # 12 s at hop 2 s, window 4 s -> 5 windows, one result line each
+    assert len(lines) == 5, out
+    by_t = {re.search(r"t=(\d+\.\d)s", ln).group(1): ln for ln in lines}
+    assert "track0.wav" in by_t["0.0"] and by_t["0.0"].startswith("Matched")
+    assert "track2.wav" in by_t["8.0"] and by_t["8.0"].startswith("Matched")
+    # the dead-air-centered window matches neither full track strongly
+    assert "track1.wav" not in out
+    # summary counts FILES, not windows
+    assert re.search(r"Processed 1 files \(12\.0 s total dur\)", out)
+
+    # incompatible with --speed-sweep (sweep needs per-variant samples)
+    assert main(["match", "-d", str(db), "--windowed", "4",
+                 "--speed-sweep", "2", str(rec)]) == 2
+    capsys.readouterr()
+
+
 def test_match_listen_batches_backlog(fixture_dir, tmp_path, capsys,
                                       monkeypatch):
     """A backlogged stdin (all lines already queued) is served in batched
