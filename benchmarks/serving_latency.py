@@ -76,11 +76,12 @@ def build_fixture(d: str, n_tracks: int, track_dur: float, n_queries: int,
 
 
 def serve_and_time(db: str, warm: list[str], queries: list[str],
-                   flood: list[str] | None = None) -> dict:
+                   flood: list[str] | None = None,
+                   batchsize: int = 64) -> dict:
     env = dict(os.environ)
     proc = subprocess.Popen(
         [sys.executable, "-m", "audfprint_tpu", "match", "-d", db,
-         "--listen"],
+         "--listen", "--batchsize", str(batchsize)],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env)
 
@@ -161,6 +162,9 @@ def main():
                     default="afdb",
                     help="afdb = mmap snapshot (millisecond DB open; the "
                          "serving-mode format)")
+    ap.add_argument("--batchsize", type=int, default=64,
+                    help="server-side --batchsize (dynamic-batching drain "
+                         "cap)")
     args = ap.parse_args()
     import audfprint_tpu.utils.jaxconfig as jc
     jc.setup()
@@ -168,7 +172,7 @@ def main():
         db, warm, queries, flood = build_fixture(
             d, args.tracks, args.track_dur, args.queries, args.q_dur,
             args.db_format, args.warm, args.flood)
-        out = serve_and_time(db, warm, queries, flood)
+        out = serve_and_time(db, warm, queries, flood, args.batchsize)
     out.update({"bench": "serving_latency", "tracks": args.tracks,
                 "db_format": args.db_format})
     print(json.dumps(out))
