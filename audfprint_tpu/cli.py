@@ -40,7 +40,7 @@ from audfprint_tpu.utils import formats
 from audfprint_tpu.utils.timing import Stages
 
 COMMANDS = ("new", "add", "precompute", "merge", "newmerge", "match",
-            "list", "remove")
+            "list", "remove", "warmup")
 
 
 def make_parser() -> argparse.ArgumentParser:
@@ -120,6 +120,9 @@ def make_parser() -> argparse.ArgumentParser:
     a("--window-hop", dest="window_hop", type=float, default=0.0,
       metavar="SEC", help="match --windowed: window hop in seconds "
                           "(default SEC/2, 50%% overlap)")
+    a("--warm-durations", dest="warm_durations", type=str, default="5,10",
+      help="warmup: comma-separated query durations (seconds) whose "
+           "fingerprint + match graphs to precompile")
     a("--listen", action="store_true",
       help="match: serving loop — read query paths from stdin (one per "
            "line), match against the warm cached device table, and emit "
@@ -538,6 +541,36 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
     return n_done, tot_dur
 
 
+def do_warmup(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
+              args, report) -> int:
+    """`warmup -d db`: precompile the serving graphs (beyond the
+    reference).  Fingerprints synthetic clips at each --warm-durations
+    bucket and matches them at sub-batch sizes 1 and --batchsize's power
+    of two — exactly the graphs a `match` / `match --listen` process
+    dispatches — so compiled executables land in the persistent compile
+    cache and the device table upload happens once.  A serving process
+    started afterwards answers its first query at steady-state latency
+    instead of paying multi-second (relay: multi-minute) compiles.
+
+    Returns the number of (fingerprint batch + match) dispatches run."""
+    rng = np.random.default_rng(0)
+    sr = analyzer.target_sr
+    durs = [float(x) for x in args.warm_durations.split(",") if x.strip()]
+    bmax = P.next_pow2(max(1, args.batchsize))
+    bsizes = sorted({1, bmax})
+    n_graphs = 0
+    for d in durs:
+        n = max(1, int(d * sr))
+        clips = [0.1 * rng.standard_normal(n).astype(np.float32)
+                 for _ in range(bmax)]
+        hashes = analyzer.samples_batch2hashes(clips)   # analyzer bucket
+        for b in bsizes:
+            matcher.match_hashes_batch(ht, hashes[:b])  # (bsub, Q) graph
+            n_graphs += 1
+        report(f"warmed {d:g} s bucket (batch sizes {bsizes})")
+    return len(durs) + n_graphs
+
+
 def do_listen(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
               args, report, stages: Stages, out_f,
               stream=None) -> tuple[int, float]:
@@ -651,12 +684,12 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
     if cmd in ("new", "newmerge", "add", "match", "merge", "list",
-               "remove") and not args.dbase:
+               "remove", "warmup") and not args.dbase:
         print("a --dbase is required for " + cmd, file=sys.stderr)
         return 2
     if cmd in ("new", "newmerge"):
         ht = _new_table(args)
-    elif cmd in ("add", "match", "merge", "list", "remove"):
+    elif cmd in ("add", "match", "merge", "list", "remove", "warmup"):
         ht = HashTable(args.dbase)
     else:
         ht = None
@@ -684,6 +717,11 @@ def main(argv=None) -> int:
             ht.merge(other)
             report(f"merged {name} ({sum(1 for n in other.names if n)} files)")
         ht.save(args.dbase)
+    elif cmd == "warmup":
+        _check_params(ht, analyzer, report)
+        n = do_warmup(ht, analyzer, matcher, args, report)
+        report(f"warmup: {n} serving graphs compiled/cached in "
+               f"{time.time() - t0:.1f} s")
     elif cmd == "list":
         ht.list(report)
     elif cmd == "remove":

@@ -260,11 +260,17 @@ def config5(scale, idbits=0):
     out = match(table, counts, jnp.asarray(hpi), jnp.asarray(qt),
                 jnp.asarray(qh), jnp.asarray(qv))
     ids0 = np.asarray(out["ids"])[:, 0]
-    t0 = time.time()
-    out = match(table, counts, jnp.asarray(hpi), jnp.asarray(qt + 1),
-                jnp.asarray(qh), jnp.asarray(qv))
-    np.asarray(out["ids"])
-    q_s = time.time() - t0
+    # timed reps with distinct inputs (the relay memoizes identical
+    # executions) — a single dispatch carries relay jitter, so report the
+    # best of 3 (device-rate proxy) and keep all samples
+    reps = []
+    for r in range(1, 4):
+        t0 = time.time()
+        out = match(table, counts, jnp.asarray(hpi), jnp.asarray(qt + r),
+                    jnp.asarray(qh), jnp.asarray(qv))
+        np.asarray(out["ids"])
+        reps.append(time.time() - t0)
+    q_s = min(reps)
     acc = float((ids0 == np.arange(QB)).mean())
     # out-of-DB false-positive rate at the default threshold (VERDICT r2
     # #5): fresh random hash streams that were never stored — any row the
@@ -279,6 +285,7 @@ def config5(scale, idbits=0):
             "idbits": idbits, "wide": bool(tcfg.wide),
             "build_s": round(build_s, 1), "top1_self": acc,
             "queries_per_sec": round(QB / q_s, 1),
+            "rep_s": [round(r, 3) for r in reps],
             "oodb_fp_rate": round(fp, 4), "oodb_queries": QB}
 
 

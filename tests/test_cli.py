@@ -491,6 +491,25 @@ def test_match_listen_opfile_flushes_per_query(fixture_dir, tmp_path,
     assert opfile.read_text().count("Matched") == 3
 
 
+def test_warmup_precompiles_serving_graphs(fixture_dir, tmp_path, capsys):
+    """`warmup -d db`: compiles the fingerprint + match graphs a serving
+    process will dispatch, against the real table.  Functional check: it
+    runs end-to-end, reports each duration bucket, and a subsequent match
+    still produces the normal result lines."""
+    db = tmp_path / "warm.pklz"
+    _run(capsys, ["new", "-d", db, *COMMON, fixture_dir / "track1.wav"])
+    out = _run(capsys, ["warmup", "-d", db, *COMMON,
+                        "--warm-durations", "3", "--batchsize", "2"])
+    assert "warmed 3 s bucket (batch sizes [1, 2])" in out
+    assert re.search(r"warmup: \d+ serving graphs compiled/cached", out)
+    out = _run(capsys, ["match", "-d", db, *COMMON,
+                        fixture_dir / "query.wav"])
+    assert "Matched" in out
+    # a --dbase is required
+    assert main(["warmup"]) == 2
+    capsys.readouterr()
+
+
 def test_match_windowed_monitoring(fixture_dir, tmp_path, capsys):
     """--windowed W: a long recording containing two different DB tracks
     (with dead air between them) reports each track in the window where
