@@ -33,7 +33,7 @@ import numpy as np
 
 from audfprint_tpu import params as P
 from audfprint_tpu.index.hash_table import HashTable
-from audfprint_tpu.match.matcher import Matcher
+from audfprint_tpu.match.matcher import Matcher, slice_hash_windows
 from audfprint_tpu.models.analyzer import Analyzer
 from audfprint_tpu.utils import audio as audio_io
 from audfprint_tpu.utils import formats
@@ -472,31 +472,18 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
     whop = getattr(args, "window_hop", 0.0)
 
     def _explode_windows(rows):
-        """Broadcast-monitoring mode (--windowed W [--window-hop H]): slice
-        each query's hashes into overlapping time windows IN THE HASH
-        DOMAIN — one fingerprint pass over the whole input (the streaming
-        kernel is T-unbounded), then every window rides the same batched
-        device match.  Query hash times are raw frame counts (the
-        mod-maxtime wrap happens at store packing), so windowing works for
-        arbitrarily long inputs.  Returns (label, hashes, win_dur) rows."""
+        """Broadcast-monitoring mode (--windowed W [--window-hop H]):
+        hash-domain window slicing (matcher.slice_hash_windows — one
+        fingerprint pass per input, raw frame times, any length), with
+        the windows of EVERY file in the chunk concatenated so they all
+        ride one batched device match.  Returns (label, hashes, win_dur)
+        rows."""
         fps = analyzer.target_sr / float(analyzer.n_hop)
-        ww = max(1, int(round(wsec * fps)))
-        hh = max(1, int(round((whop if whop > 0 else wsec / 2) * fps)))
         out = []
         for name, h, dur in rows:
-            nf = max(1, int(round(dur * fps)))
-            starts = list(range(0, max(1, nf - ww + 1), hh))
-            # cover the tail remainder — but only when the extra window is
-            # meaningfully offset from the last grid window (a few-frame
-            # remainder would just duplicate its matches)
-            if nf - ww - starts[-1] >= max(1, hh // 2):
-                starts.append(nf - ww)
-            h = np.asarray(h).reshape(-1, 2)
-            for t0 in starts:
-                sel = h[(h[:, 0] >= t0) & (h[:, 0] < t0 + ww)].copy()
-                sel[:, 0] -= t0
-                label = f"{name} t={t0 / fps:.1f}s"
-                out.append((label, sel, min(ww, nf - t0) / fps))
+            for t0, sel, wdur in slice_hash_windows(h, dur, wsec, fps,
+                                                    whop):
+                out.append((f"{name} t={t0:.1f}s", sel, wdur))
         return out
 
     def consume(ordered, handle):

@@ -26,6 +26,33 @@ def sweep_factors(pct: float) -> list:
     return [1.0 + i / 100.0 for i in range(-k, k + 1) if i]
 
 
+def slice_hash_windows(hashes, dur: float, window_sec: float, fps: float,
+                       hop_sec: float = 0.0) -> list:
+    """Slice one query's (t, hash) rows into overlapping time windows in
+    the HASH domain (broadcast monitoring): the input is fingerprinted
+    once — hash times are raw frame counts, so this works for arbitrarily
+    long recordings — and every window can ride one batched device match.
+
+    Returns [(t0_sec, hashes_shifted, win_dur_sec)] per window; hop
+    defaults to window/2.  The tail remainder gets its own window only
+    when meaningfully offset (>= hop/2) from the last grid window — a
+    few-frame remainder would just duplicate its matches."""
+    ww = max(1, int(round(window_sec * fps)))
+    hh = max(1, int(round((hop_sec if hop_sec > 0 else window_sec / 2)
+                          * fps)))
+    nf = max(1, int(round(dur * fps)))
+    starts = list(range(0, max(1, nf - ww + 1), hh))
+    if nf - ww - starts[-1] >= max(1, hh // 2):
+        starts.append(nf - ww)
+    h = np.asarray(hashes).reshape(-1, 2)
+    out = []
+    for t0 in starts:
+        sel = h[(h[:, 0] >= t0) & (h[:, 0] < t0 + ww)].copy()
+        sel[:, 0] -= t0
+        out.append((t0 / fps, sel, min(ww, nf - t0) / fps))
+    return out
+
+
 class Matcher:
     def __init__(self,
                  window: int = P.MATCH_WIN,
@@ -294,6 +321,19 @@ class Matcher:
             n = int(out[b, :, 6].sum())   # n_results == rvalid.sum()
             results.append(out[b, :n, :6].astype(np.int64))
         return results
+
+    def match_hashes_windowed(self, ht, hashes, dur: float,
+                              window_sec: float, fps: float,
+                              hop_sec: float = 0.0) -> list:
+        """Broadcast monitoring over one long query (library form of the
+        CLI's `match --windowed`): hash-domain window slicing
+        (slice_hash_windows) + ONE batched device match over all windows.
+        fps = analysis frame rate (analyzer.target_sr / analyzer.n_hop).
+        Returns [(t0_sec, rows, n_window_hashes, win_dur_sec)]."""
+        wins = slice_hash_windows(hashes, dur, window_sec, fps, hop_sec)
+        res = self.match_hashes_batch(ht, [h for _, h, _ in wins])
+        return [(t0, rows, len(h), wdur)
+                for (t0, h, wdur), rows in zip(wins, res)]
 
     def match_samples_sweep(self, analyzer, ht, samples: list, pct: float,
                             base_hashes: list | None = None) -> list:

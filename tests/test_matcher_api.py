@@ -53,6 +53,33 @@ def test_match_hashes_matches_oracle(setup):
     assert np.array_equal(got, want)
 
 
+def test_match_hashes_windowed(setup):
+    """Library broadcast monitoring: a concatenated stream (track0 then
+    track1, hash domain) reports each track in its window, window offsets
+    are subtracted, and slicing invariants hold (hop grid, tail rule)."""
+    from audfprint_tpu.match.matcher import slice_hash_windows
+
+    d, analyzer, ht = setup
+    fps = analyzer.target_sr / analyzer.n_hop
+    h0 = analyzer.wavfile2hashes(str(d / "t0.wav"))
+    h1 = analyzer.wavfile2hashes(str(d / "t1.wav")).copy()
+    off = int(round(6.0 * fps))
+    h1[:, 0] += off                        # track1 starts at t=6 s
+    stream = np.concatenate([h0, h1])
+
+    wins = slice_hash_windows(stream, 12.0, 6.0, fps, hop_sec=6.0)
+    assert [round(t0, 1) for t0, _, _ in wins] == [0.0, 6.0]
+    # offsets subtracted: every window's hashes start near 0 (within the
+    # first-landmark latency, a few dozen frames)
+    assert all(h[:, 0].min() < 64 for _, h, _ in wins if len(h))
+
+    res = Matcher().match_hashes_windowed(ht, stream, 12.0, 6.0, fps,
+                                          hop_sec=6.0)
+    assert [int(rows[0][0]) for _t0, rows, _nh, _wd in res] == [0, 1]
+    # window duration = ww frames / fps ~= the requested 6 s
+    assert all(abs(wd - 6.0) < 2 / fps for *_x, wd in res)
+
+
 def test_wavfile2peaks(setup):
     d, analyzer, ht = setup
     pks = analyzer.wavfile2peaks(str(d / "t0.wav"))
