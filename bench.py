@@ -163,6 +163,48 @@ def measure_end_to_end(n_files: int = 64, dur_sec: float = 20.0,
     return n_files * dur_sec / elapsed, stages
 
 
+def measure_match(tracks: int = 1024, hashes_per_track: int = 300,
+                  qhashes: int = 100, B: int = 64, iters: int = 3):
+    """Warm matching throughput (queries/sec) on a synthetic device table.
+
+    Same methodology as benchmarks/match_micro.py (inputs varied per call;
+    warm call excluded) at its default shapes, so the compile cache built
+    by any prior run keeps this cheap.  Returns (q/s, top-1 self rate)."""
+    import audfprint_tpu.utils.jaxconfig as jc
+    jc.setup()
+    from audfprint_tpu.index.hash_table import HashTable
+    from audfprint_tpu.match.matcher import Matcher
+
+    rng = np.random.default_rng(11)
+    ht = HashTable()
+    streams = []
+    for i in range(tracks):
+        h = np.stack([np.sort(rng.integers(0, ht.maxtime, hashes_per_track))
+                      .astype(np.int32),
+                      rng.integers(0, 1 << 20, hashes_per_track)
+                      .astype(np.int32)], axis=1)
+        ht.store_vectorized(f"t{i}", h)
+        streams.append(h)
+    m = Matcher(verbose=0)
+    queries = []
+    for b in range(B):
+        s = streams[b % tracks]
+        idx = np.sort(rng.choice(len(s), qhashes, replace=False))
+        q = s[idx].copy()
+        q[:, 0] = np.maximum(0, q[:, 0] - int(q[0, 0]))
+        queries.append(q)
+    res = m.match_hashes_batch(ht, queries)        # warm: compile + upload
+    top1 = float(np.mean([len(r) > 0 and r[0][0] == (b % tracks)
+                          for b, r in enumerate(res)]))
+    best = float("inf")
+    for k in range(1, iters + 1):
+        shifted = [np.stack([q[:, 0] + k, q[:, 1]], axis=1) for q in queries]
+        t0 = time.time()
+        m.match_hashes_batch(ht, shifted)
+        best = min(best, time.time() - t0)
+    return B / best, top1
+
+
 # Reference single-core throughput anchor (audio-sec/sec): conservative top
 # of BASELINE.md's "~10-30x real time, single x86 core" range.
 REFERENCE_BASELINE_AS_PER_SEC = 30.0
@@ -191,6 +233,16 @@ def main():
         out["end_to_end_as_per_sec"] = round(e2e, 1)
         out["end_to_end_stages_s"] = {k: round(v, 2)
                                       for k, v in stages.items()}
+    # matching throughput rides the same artifact (the fingerprint number
+    # alone under-reports the retrieval side); tolerate failure — the
+    # headline line must print even if the match graph can't build here
+    if "--no-match" not in sys.argv:
+        try:
+            qps, top1 = measure_match()
+            out["match_queries_per_sec"] = round(qps, 1)
+            out["match_top1_self"] = round(top1, 3)
+        except Exception as e:           # noqa: BLE001
+            out["match_bench_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
 
 
