@@ -81,8 +81,12 @@ def _make_upstream_pklz(path, hashbits=16, depth=8, maxtimebits=10,
 def test_load_upstream_instance(tmp_path, capsys):
     path = str(tmp_path / "upstream.pklz")
     entries = _make_upstream_pklz(path)
-    # loading must not require any 'hash_table' module on the path
-    assert "hash_table" not in sys.modules
+    # loading must not require any pickling-stub 'hash_table' module on the
+    # path (a GENUINE `hash_table` may be present: the repo ships a root
+    # drop-in shim under that name, and it has a __file__; the fabricated
+    # stubs do not)
+    assert getattr(sys.modules.get("hash_table"), "__file__", None) \
+        is not None or "hash_table" not in sys.modules
     ht = HashTable(path)
     assert ht.hashbits == 16 and ht.depth == 8
     assert ht.maxtime == 1 << 10 and ht.maxtimebits == 10
@@ -170,9 +174,11 @@ def test_save_upstream_load_roundtrip(tmp_path, capsys):
     ht.store_vectorized("a.wav", pairs)
     path = str(tmp_path / "rt.pklz")
     ht.save_upstream(path)
-    # the pickling shim must not leave a stub module behind that would
-    # shadow a later genuine `import hash_table` (round-2 review finding)
-    assert "hash_table" not in sys.modules
+    # the pickling shim must not leave a STUB module behind that would
+    # shadow a later genuine `import hash_table` (round-2 review finding);
+    # the genuine root drop-in shim (which has a __file__) may be present
+    assert getattr(sys.modules.get("hash_table"), "__file__", None) \
+        is not None or "hash_table" not in sys.modules
     ht2 = HashTable(path)
     np.testing.assert_array_equal(ht2.table, ht.table)
     np.testing.assert_array_equal(ht2.counts, ht.counts)
