@@ -439,9 +439,16 @@ class Matcher:
 
     def illustrate_match(self, analyzer, ht, filename: str,
                          out_png: str | None = None,
-                         show: bool | None = None):
+                         show: bool | None = None,
+                         hpf: bool | None = None):
         """Spectrogram + landmark overlay, matched landmarks highlighted
         (reference illustrate_match, audfprint_match.py:~300-380).
+
+        hpf=None follows the matcher's flags: `-I --illustrate` draws the
+        plain whitened log-magnitude spectrogram; `-J --illustrate-hpf`
+        applies the onset high-pass first (distinct images, as in the
+        reference).  Analysis/matching always uses the HPF'd signal
+        regardless — this only changes the displayed background.
 
         show=None (default): display interactively when a display exists
         AND no explicit out_png was requested (the reference's matplotlib
@@ -463,10 +470,12 @@ class Matcher:
             return None
         from audfprint_tpu.oracle import analyze as oa
 
+        if hpf is None:
+            hpf = bool(self.illustrate_hpf)
         d = analyzer.read_audio(filename)
         sg = oa.spectrogram(d, P.AnalyzerParams(
             density=analyzer.density, n_fft=analyzer.n_fft,
-            n_hop=analyzer.n_hop, f_sd=analyzer.f_sd))
+            n_hop=analyzer.n_hop, f_sd=analyzer.f_sd), hpf=hpf)
         hashes = analyzer.samples2hashes(d)
         rows = self.match_hashes(ht, hashes)
         lmks = oa.hashes2landmarks(hashes)

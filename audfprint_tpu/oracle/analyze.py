@@ -29,8 +29,13 @@ from audfprint_tpu.oracle import stft as _stft
 # ---------------------------------------------------------------------------
 
 def spectrogram(d: np.ndarray, params: P.AnalyzerParams | None = None,
-                dtype=np.float32) -> np.ndarray:
+                dtype=np.float32, hpf: bool = True) -> np.ndarray:
     """Audio samples -> whitened, HPF'd log-magnitude spectrogram (T, n_bins).
+
+    hpf=False skips the onset high-pass and returns the whitened
+    log-magnitude directly — the reference's `--illustrate` (-I) display
+    draws that, while `--illustrate-hpf` (-J) applies the HPF first
+    (audfprint_match.py:~300-380).  The analysis path always uses hpf=True.
 
     NOTE: time-major orientation (T, F) — internal choice of this rebuild; the
     reference keeps librosa (F, T).  All downstream oracle/TPU code uses (T, F).
@@ -49,6 +54,8 @@ def spectrogram(d: np.ndarray, params: P.AnalyzerParams | None = None,
     # else: identically-zero signal passes through as zeros (reference prints a
     # warning and continues — audfprint_analyze.py find_peaks).
     sgram = sgram.astype(dtype)
+    if not hpf:
+        return sgram[:, : params.n_bins]
     # Onset high-pass along time, per freq row: y[t] = x[t] - x[t-1] + pole*y[t-1]
     # == lfilter([1, -1], [1, -HPF_POLE**(1/OVERSAMP)], row).  Explicit f32
     # recurrence so the TPU scan can match bit-for-bit.

@@ -97,7 +97,28 @@ def measure_device(B: int = 256, dur_sec: float = 20.0, iters: int = 5,
                for k in range(blocks)]
     elapsed = min(t for t, _ in results)
     total_hashes = results[0][1]
-    return B * dur * iters / elapsed, total_hashes
+
+    # chip-vs-relay attribution (VERDICT r3 #8): time a null graph (one
+    # scalar reduce over varied pre-staged inputs) — its wall time is the
+    # per-dispatch relay/runtime constant this environment adds on top of
+    # device compute; subtracting it bounds the true on-chip batch time.
+    import jax
+    null = jax.jit(lambda a: a[0, 0] + a[0, 1])
+    float(null(batches[0]))                       # compile + warm
+    null_best = min(_timed(lambda: float(null(b))) for b in batches[1:4])
+    per_batch = elapsed / iters
+    attrib = {
+        "batch_wall_ms": round(per_batch * 1e3, 1),
+        "dispatch_overhead_ms": round(null_best * 1e3, 1),
+        "device_compute_ms_est": round((per_batch - null_best) * 1e3, 1),
+    }
+    return B * dur * iters / elapsed, total_hashes, attrib
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
 
 
 def measure_oracle(dur_sec: float = 10.0, repeats: int = 3):
@@ -213,12 +234,13 @@ REFERENCE_BASELINE_AS_PER_SEC = 30.0
 def main():
     import sys
 
-    dev_tput, nh = measure_device()
+    dev_tput, nh, attrib = measure_device()
     out = {
         "metric": "fingerprint_throughput",
         "value": round(dev_tput, 1),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(dev_tput / REFERENCE_BASELINE_AS_PER_SEC, 2),
+        "fingerprint_attrib_ms": attrib,
     }
     if "--all" in sys.argv:
         orc_tput, _ = measure_oracle()
@@ -241,6 +263,13 @@ def main():
             qps, top1 = measure_match()
             out["match_queries_per_sec"] = round(qps, 1)
             out["match_top1_self"] = round(top1, 3)
+            # self-description (VERDICT r3 #8): this is a steady-state
+            # DEVICE match rate over a synthetic random-hash table
+            # (1024 tracks, 100-hash queries, B=64) — decode+analysis
+            # excluded; it is NOT end-to-end query latency.  Real-audio
+            # end-to-end matching is covered by BASELINE configs 2/5
+            # (benchmarks/baseline_configs.py) and serving_latency.py.
+            out["match_bench_kind"] = "synthetic-table-device-rate"
         except Exception as e:           # noqa: BLE001
             out["match_bench_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))

@@ -3,4 +3,4 @@
 `from stft import stft` works unchanged (NumPy oracle STFT: strided
 framing, no centering, caller-supplied window)."""
 
-from audfprint_tpu.oracle.stft import frame, stft  # noqa: F401
+from audfprint_tpu.compat.stft import frame, stft  # noqa: F401

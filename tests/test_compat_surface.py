@@ -74,7 +74,9 @@ def test_toplevel_cli_script(tmp_path):
          "match", "-d", str(db), str(wav)],
         capture_output=True, text=True, env=env, cwd=root, timeout=600)
     assert r2.returncode == 0, r2.stderr
-    assert "as" in r2.stdout and "t0.wav" in r2.stdout
+    # pin the reference match-line shape, not an accidental substring
+    assert "Matched" in r2.stdout and "at rank 0" in r2.stdout
+    assert "t0.wav" in r2.stdout
 
 
 def test_compat_stft_shape():

@@ -97,6 +97,32 @@ def test_illustrate_match(setup, tmp_path):
     assert path == out and os.path.getsize(out) > 10000
 
 
+def test_illustrate_vs_hpf_render_differently(setup, tmp_path):
+    """-I draws the plain whitened spectrogram, -J the HPF'd one: the two
+    spectrogram arrays AND the rendered PNGs must differ (reference
+    audfprint_match.py:~300-380 applies the HPF only under -J)."""
+    from audfprint_tpu import params as P
+    from audfprint_tpu.oracle import analyze as oa
+
+    d, analyzer, ht = setup
+    wav = str(d / "q.wav")
+    samples = analyzer.read_audio(wav)
+    prm = P.AnalyzerParams(density=analyzer.density, n_fft=analyzer.n_fft,
+                           n_hop=analyzer.n_hop, f_sd=analyzer.f_sd)
+    sg_plain = oa.spectrogram(samples, prm, hpf=False)
+    sg_hpf = oa.spectrogram(samples, prm, hpf=True)
+    assert sg_plain.shape == sg_hpf.shape
+    assert not np.array_equal(sg_plain, sg_hpf)
+
+    m = Matcher()
+    p1 = m.illustrate_match(analyzer, ht, wav,
+                            out_png=str(tmp_path / "i.png"), hpf=False)
+    p2 = m.illustrate_match(analyzer, ht, wav,
+                            out_png=str(tmp_path / "j.png"), hpf=True)
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() != f2.read()
+
+
 def test_presets_and_batched_wavfiles(setup):
     from audfprint_tpu.models.presets import PRESETS, make_analyzer
 

@@ -83,10 +83,12 @@ def test_load_upstream_instance(tmp_path, capsys):
     entries = _make_upstream_pklz(path)
     # loading must not require any pickling-stub 'hash_table' module on the
     # path (a GENUINE `hash_table` may be present: the repo ships a root
-    # drop-in shim under that name, and it has a __file__; the fabricated
-    # stubs do not)
-    assert getattr(sys.modules.get("hash_table"), "__file__", None) \
-        is not None or "hash_table" not in sys.modules
+    # drop-in shim under that name whose HashTable IS the real class;
+    # any other leaked module — including a spec-built stub carrying a
+    # __file__ — must fail this identity check)
+    if "hash_table" in sys.modules:
+        import audfprint_tpu.index.hash_table as _real
+        assert sys.modules["hash_table"].HashTable is _real.HashTable
     ht = HashTable(path)
     assert ht.hashbits == 16 and ht.depth == 8
     assert ht.maxtime == 1 << 10 and ht.maxtimebits == 10
