@@ -13,7 +13,10 @@ import bench
 
 
 def test_bench_main_json_contract(monkeypatch, capsys):
-    monkeypatch.setattr(bench, "measure_device", lambda: (12345.6, 789))
+    attrib = {"batch_wall_ms": 10.0, "dispatch_overhead_ms": 1.0,
+              "device_compute_ms_est": 9.0}
+    monkeypatch.setattr(bench, "measure_device",
+                        lambda: (12345.6, 789, attrib))
     monkeypatch.setattr(
         bench, "measure_end_to_end", lambda: (234.5, {"decode": 1.0}))
     monkeypatch.setattr(bench, "measure_match", lambda: (456.7, 1.0))
@@ -26,13 +29,15 @@ def test_bench_main_json_contract(monkeypatch, capsys):
     assert out["value"] == 12345.6
     assert out["unit"] == "audio-sec/sec/chip"
     assert out["vs_baseline"] == round(12345.6 / 30.0, 2)
+    assert out["fingerprint_attrib_ms"] == attrib
     assert out["end_to_end_as_per_sec"] == 234.5
     assert out["match_queries_per_sec"] == 456.7
     assert out["match_top1_self"] == 1.0
+    assert out["match_bench_kind"] == "synthetic-table-device-rate"
 
 
 def test_bench_main_match_failure_tolerated(monkeypatch, capsys):
-    monkeypatch.setattr(bench, "measure_device", lambda: (100.0, 1))
+    monkeypatch.setattr(bench, "measure_device", lambda: (100.0, 1, {}))
 
     def boom():
         raise RuntimeError("no device")
