@@ -131,6 +131,16 @@ def make_parser() -> argparse.ArgumentParser:
            "--batchsize): interactive callers keep single-query latency, "
            "backlogged pipes get batched-match throughput. EOF ends; "
            "blank lines are ignored (capability beyond the reference)")
+    a("--stream-above", dest="stream_above", type=float, default=3600.0,
+      metavar="SEC",
+      help="ingest: WAV inputs longer than SEC analyze in fixed-size "
+           "chunks with O(chunk) host+device memory (carried envelope/HPF "
+           "state; exact sparse backward prune). 0 disables streaming "
+           "(capability beyond the reference, SURVEY long-audio plan)")
+    a("--stream-chunk", dest="stream_chunk", type=int, default=8192,
+      metavar="FRAMES",
+      help="streamed ingest chunk size in analysis frames (~190 s at "
+           "defaults); results are bit-identical at any value")
     a("--profile", type=str, default=None,
       help="write a jax.profiler trace to this directory")
     a("--json-metrics", dest="json_metrics", type=str, default=None,
@@ -139,13 +149,16 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def setup_analyzer(args) -> Analyzer:
-    return Analyzer(density=args.density,
-                    target_sr=args.samplerate,
-                    shifts=max(1, args.shifts),
-                    maxpksperframe=args.pks_per_frame,
-                    maxpairsperpeak=args.fanout,
-                    f_sd=args.freq_sd,
-                    fail_on_error=not args.continue_on_error)
+    an = Analyzer(density=args.density,
+                  target_sr=args.samplerate,
+                  shifts=max(1, args.shifts),
+                  maxpksperframe=args.pks_per_frame,
+                  maxpairsperpeak=args.fanout,
+                  f_sd=args.freq_sd,
+                  fail_on_error=not args.continue_on_error)
+    an.stream_above_sec = max(0.0, args.stream_above)
+    an.stream_chunk_frames = max(64, args.stream_chunk)
+    return an
 
 
 def setup_matcher(args) -> Matcher:

@@ -543,74 +543,60 @@ class _Runs(NamedTuple):
         return cls(start=start, end=end)
 
 
-def _window_hit_count(k_s, r_s, d_s, runs: _Runs, center,
-                      left_hops: int, right_hops: int, nbins: int,
-                      W: int) -> jax.Array:
-    """Per hit: #same-rank hits with |bin - center| <= W, via run hops.
-
-    `center` must satisfy center ∈ [d_s - left_hops·1, d_s + ...] such
-    that at most `left_hops` distinct bins can lie in [center - W, d_s)
-    and at most `right_hops` in (d_s, center + W] — bins are distinct
-    integers across runs, so each boundary needs at most that many run
-    hops.  Each hop is two gathers + compares on (B, H) int32: far
-    cheaper than the searchsorted equivalent (a (B, 2H) sort per call).
-    Exact: reproduces `_vss(k_s, lo, 'left')/_vss(k_s, hi, 'right')`
-    range counts for in-domain centers."""
-    B, H = k_s.shape
-    lo_key = r_s * nbins + jnp.maximum(center - W, 0)
-    hi_key = r_s * nbins + jnp.minimum(center + W, nbins - 1)
-    take = lambda arr, i: jnp.take_along_axis(  # noqa: E731
-        arr, jnp.clip(i, 0, H - 1), axis=1)
-    # left boundary: first hit index whose key >= lo_key.  Start at own
-    # run's start; hop to the previous run while ITS key still >= lo_key.
-    begin = runs.start
-    for _ in range(left_hops):
-        prev_last = begin - 1
-        prev_key = take(k_s, prev_last)
-        ok = (begin > 0) & (prev_key >= lo_key)
-        begin = jnp.where(ok, take(runs.start, prev_last), begin)
-    # right boundary: one past the last hit whose key <= hi_key.  Start at
-    # own run's end; hop to the next run while its key <= hi_key.
-    end = runs.end
-    for _ in range(right_hops):
-        nxt_key = take(k_s, end)
-        ok = (end < H) & (nxt_key <= hi_key)
-        end = jnp.where(ok, take(runs.end, end), end)
-    return (end - begin).astype(jnp.int32)
-
-
-# run-hop window counting needs (3W+1) gather rounds; past this W the
-# searchsorted formulation wins (and W is 2 by default — see MATCH_WIN)
-_MAX_WALK_WIN = 8
+def _shifted(a: jax.Array, o: int, fill) -> jax.Array:
+    """s[:, i] = a[:, i + o] with `fill` outside — static-offset neighbor
+    view (two concat slices; no gather, no roll wraparound)."""
+    if o == 0:
+        return a
+    B = a.shape[0]
+    pad = jnp.full((B, abs(o)), fill, a.dtype)
+    if o > 0:
+        return jnp.concatenate([a[:, o:], pad], axis=1)
+    return jnp.concatenate([pad, a[:, :o]], axis=1)
 
 
 def match_core_sorted(table: jax.Array, counts: jax.Array,
                       hashesperid: jax.Array, qtimes: jax.Array,
                       qhashes: jax.Array, qvalid: jax.Array,
                       tcfg: DT.TableConfig, mcfg: MatchConfig):
-    """Single-device voting with NO histogram-sized buffers.
+    """Single-device voting with NO histogram-sized buffers: the
+    compacted run-length (RLE) core.
 
     The hist-based match_core materializes (B, SD, maxtime + qt_cap)
-    integer buffers — the memory wall and the dominant cost at scale (the
-    scatter-add serializes on the TPU).  This formulation replaces every
-    bin-domain array with sorts + row-wise binary searches over the (B, H)
-    hit set, using two exact identities:
+    integer buffers and builds them with a scatter-add that serializes on
+    conflicting indices — measured as the single largest op of a config-5
+    match batch (docs/DESIGN.md "What bounds matching").  This core never
+    leaves the hit domain.  After the (rank, bin) key sort, one more
+    2-operand sort COMPACTS the distinct (rank, bin) runs to the front of
+    the row (run starts carry ascending distinct keys; non-starts become
+    inert sentinels).  On the compacted array, bins within a rank are
+    strictly increasing, so every ±W bin window spans at most W array
+    positions per side — all windowed quantities become static shifted
+    adds/maxes (pure VPU work, no scatter, no gather):
 
-      * windowed-sum mode: the +/-W smeared histogram is piecewise constant
-        between "event points", and its first masked argmax is always at
-        p_i = max(dtmin, d_i - W) for some hit i — so evaluating the window
-        range-count ONLY at the H event points finds the exact oracle mode
-        (value by searchsorted range count, tie -> smallest p).
-      * exact unique-row count U(m) = C(m) - D(m): window range-count of
-        hits minus the count of consecutive same-(query-row, candidate)
-        sorted hit pairs whose windows both cover m (the coverage-interval
-        telescoping identity; see match_core).  Both terms are searchsorted
-        range counts over presorted arrays.
+      * windowed-sum mode (approx): the +/-W smeared histogram is
+        piecewise constant between event points, and its first masked
+        argmax is always at p = max(dtmin, d - W) for some run bin d — so
+        evaluating Σ counts over runs within [p-W, p+W] (offsets
+        -2W..+W) at every run finds the exact oracle mode (tie ->
+        smallest p).
+      * raw-histogram local maxima (exact): a run is a mode candidate iff
+        its count >= every neighbor run count within ±W bins (offsets
+        -W..+W) and >= threshcount — the oracle find_modes.
+      * exact unique-row count U(d) = C(d) - D(d): C = windowed run-count
+        sum (shifts again); D = #consecutive same-(query-row, candidate)
+        sorted hit pairs whose windows both cover d (coverage-interval
+        telescoping identity; see match_core), counted by searchsorted
+        over the sorted pair-interval endpoints.
+
+    Per-candidate winners come from a segmented running max over the
+    rank-contiguous compacted rows (associative_scan; packed (score, pos)
+    int32 keys) — no (B, H) -> (B, SD) scatter anywhere.
 
     Everything is O(B*H log H) with H = Q * depth, independent of maxtime
     and query length.  Bit-identical to match_core / the oracle (shared
-    tests); used by match_batch for single-device matching, while the
-    sharded path keeps the psum-combinable hist core.
+    tests); match_batch dispatches here for single-device matching, while
+    the sharded path keeps the psum-combinable hist core.
     """
     B, Q = qhashes.shape
     SD = mcfg.search_depth
@@ -619,7 +605,7 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     nbins = tcfg.maxtime + mcfg.qt_cap
     # widest combined keys: pair intervals use span = nbins + 2W + 2 and
     # qtime keys use qspan = qt_cap + 1 <= span, both scaled by rank <= SD+1
-    assert (SD + 1) * (nbins + 2 * W + 2) < 2**31, \
+    assert (SD + 2) * (nbins + 2 * W + 2) < 2**31, \
         "rank/bin key exceeds int32 (reduce search_depth or query length)"
 
     ids3, dts3, hv3 = DT.get_hits_local(
@@ -638,36 +624,50 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     dtbin_f = jnp.clip(dt_f + mcfg.qt_cap, 0, nbins - 1)
     # one combined (rank, bin) key; invalid hits (rank SD) sort last
     k_s = jax.lax.sort(rank_f * nbins + dtbin_f)
-    r_s = k_s // nbins
-    d_s = k_s % nbins
-    val_s = r_s < SD
     iota_h = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None], (B, H))
     runs = _Runs.of(k_s)
+    first = iota_h == runs.start
+    c_run = (runs.end - runs.start).astype(jnp.int32)
 
-    # per-hit dtmin of its candidate: value at the first index of its
-    # rank run (d ascending within a run), propagated by cummax of starts
-    first = jnp.concatenate(
-        [jnp.ones((B, 1), bool), r_s[:, 1:] != r_s[:, :-1]], axis=1)
-    start_idx = jax.lax.cummax(jnp.where(first, iota_h, 0), axis=1)
-    dtmin_h = jnp.take_along_axis(d_s, start_idx, axis=1)
+    # compaction: run starts carry distinct ascending keys, so one
+    # 2-operand sort moves (key, count) of every run to the front of the
+    # row in key order; non-starts become inert sentinel entries
+    SENT = (SD + 1) * nbins
+    ks_c, cnt_c = jax.lax.sort(
+        (jnp.where(first, k_s, SENT), jnp.where(first, c_run, 0)),
+        num_keys=1)
+    rk_c = ks_c // nbins                      # SD+1 on the sentinel tail
+    db_c = ks_c % nbins
+    val_c = rk_c < SD
+    rk_g = jnp.minimum(rk_c, SD)              # safe gather index
 
-    def window_count(center, left_hops, right_hops):
-        """#hits with same rank and |d - center| <= W, per hit.  Run-hop
-        formulation for small W (each _vss hides a (B, 2H) sort);
-        `left/right_hops` bound the distinct bins reachable on each side
-        of the hit's own bin for this center (see _window_hit_count)."""
-        if W <= _MAX_WALK_WIN:
-            return _window_hit_count(k_s, r_s, d_s, runs, center,
-                                     left_hops, right_hops, nbins, W)
-        lo = _vss(k_s, r_s * nbins + jnp.maximum(center - W, 0), "left")
-        hi = _vss(k_s, r_s * nbins + jnp.minimum(center + W, nbins - 1),
-                  "right")
-        return (hi - lo).astype(jnp.int32)
+    # per-run dtmin of its candidate: bins ascend within a rank segment,
+    # so dtmin = db at the segment's first run, propagated by cummax
+    rfirst = jnp.concatenate(
+        [jnp.ones((B, 1), bool), rk_c[:, 1:] != rk_c[:, :-1]], axis=1)
+    start_idx = jax.lax.cummax(jnp.where(rfirst, iota_h, 0), axis=1)
+    dtmin_c = jnp.take_along_axis(db_c, start_idx, axis=1)
+
+    # static shifted neighbor views (shared by every windowed quantity)
+    _offsets = range(-2 * W, W + 1) if not mcfg.exact_count \
+        else range(-W, W + 1)
+    _nb = {o: (_shifted(rk_c, o, SD + 1), _shifted(db_c, o, -nbins),
+               _shifted(cnt_c, o, 0)) for o in _offsets if o != 0}
+
+    def window_sum(center):
+        """Σ run counts with same rank and |bin - center| <= W, per run.
+        `center` ∈ [db - 2W_left, db + W_right] per the offset range."""
+        s = jnp.where((db_c >= center - W) & (db_c <= center + W),
+                      cnt_c, 0)
+        for o, (rk_o, db_o, cn_o) in _nb.items():
+            m = (rk_o == rk_c) & (db_o >= center - W) & (db_o <= center + W)
+            s = s + jnp.where(m, cn_o, 0)
+        return s
 
     # Per-candidate (max score, then min pos among maxima) reductions.
-    # The scatter formulation issues (B, H) updates into (B, SD+1) slots —
-    # extreme index conflicts, which TPU scatter serializes on.  Since k_s
-    # is rank-major sorted, rank segments are contiguous: a segmented
+    # A scatter formulation would issue (B, H) updates into (B, SD+1)
+    # slots — extreme index conflicts, which TPU scatter serializes on.
+    # Rank segments are contiguous on the compacted row: a segmented
     # running max (associative_scan with boundary resets) + one gather at
     # each segment's end computes the same reduction scatter-free.  The
     # (score, pos) pair packs into one int32 key when score < 2^16 and
@@ -675,16 +675,14 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     # pos) — guaranteed for ordinary shapes (score ≤ H hits, pos < nbins);
     # otherwise fall back to the scatter form.
     _PACK_OK = H < (1 << 16) and nbins <= (1 << 15)
-    rank_first = jnp.concatenate(
-        [jnp.ones((B, 1), bool), r_s[:, 1:] != r_s[:, :-1]], axis=1)
     if _PACK_OK:
         # segment-end position per rank (shared by every reduction):
-        # end(r) = (#hits with rank <= r) - 1, via one searchsorted
+        # end(r) = (#runs with rank <= r) - 1, via one searchsorted
         ranks_q = jnp.broadcast_to(
             jnp.arange(SD + 1, dtype=jnp.int32)[None], (B, SD + 1))
-        seg_end = _vss(r_s, ranks_q, "right") - 1
+        seg_end = _vss(rk_c, ranks_q, "right") - 1
         seg_ok = (seg_end >= 0) & (jnp.take_along_axis(
-            r_s, jnp.maximum(seg_end, 0), axis=1) == ranks_q)
+            rk_c, jnp.maximum(seg_end, 0), axis=1) == ranks_q)
 
         def _seg_combine(x, y):
             f1, v1 = x
@@ -698,7 +696,7 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
             key = jnp.where(valid,
                             score * (1 << 15) + ((1 << 15) - 1 - pos), -1)
             _f, run = jax.lax.associative_scan(
-                _seg_combine, (rank_first, key), axis=1)
+                _seg_combine, (rfirst, key), axis=1)
             kend = jnp.where(seg_ok, jnp.take_along_axis(
                 run, jnp.maximum(seg_end, 0), axis=1), -1)
             best = jnp.where(kend >= 0, kend >> 15, -1)
@@ -707,62 +705,43 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
                              _I32MAX)
             return best, bpos
         s_safe = jnp.where(valid, score, -1)
-        best = jnp.full((B, SD + 1), -1, jnp.int32).at[
-            bidx, r_s].max(s_safe)
-        is_best = valid & (s_safe == best[bidx, r_s])
-        bpos = jnp.full((B, SD + 1), _I32MAX, jnp.int32).at[
-            bidx, r_s].min(jnp.where(is_best, pos, _I32MAX))
+        best2 = jnp.full((B, SD + 2), -1, jnp.int32).at[
+            bidx, rk_g].max(jnp.where(val_c | ~valid, s_safe, -1))
+        best = best2[:, : SD + 1]
+        is_best = valid & (s_safe == best2[bidx, rk_g])
+        bpos = jnp.full((B, SD + 2), _I32MAX, jnp.int32).at[
+            bidx, rk_g].min(jnp.where(is_best, pos, _I32MAX))[:, : SD + 1]
         return best, bpos
 
     if not mcfg.exact_count:
         # approx: evaluate the smear at every event point p = max(dtmin,
-        # d - W); winner per candidate = (max count, then smallest p)
-        # center p = max(dtmin, d - W) ∈ [d - W, d]: bins in
-        # [p - W, d) span <= 2W values, bins in (d, p + W] span <= W
-        p_h = jnp.maximum(dtmin_h, d_s - W)
-        s_h = window_count(p_h, 2 * W, W)
-        best, bpos = per_rank_best(s_h, p_h, val_s)
+        # d - W); winner per candidate = (max count, then smallest p).
+        # p ∈ [d - W, d], so runs in [p - W, p + W] lie within 2W
+        # positions left / W right of the run — covered by _offsets
+        p_c = jnp.maximum(dtmin_c, db_c - W)
+        s_c = window_sum(p_c)
+        best, bpos = per_rank_best(s_c, p_c, val_c)
         filt = best[:, :SD, None]
         mode_bin = bpos[:, :SD, None]
         mode_ok = jnp.ones((B, SD, 1), bool)
     else:
-        # run (distinct (rank, bin)) boundaries and counts — straight from
-        # the scan-built run structure (was two _vss calls = two (B, 2H)
-        # sorts)
-        run_lo = runs.start
-        run_hi = runs.end
-        c_h = (run_hi - run_lo).astype(jnp.int32)
-        is_start = iota_h == run_lo
-        # window max of run counts: walk up to W runs each side (distinct
-        # integer bins within +/-W = at most W runs per side); the
-        # neighbor run's extent comes from gathers of the run structure
-        # (was one _vss per step)
-        take = lambda arr, i: jnp.take_along_axis(  # noqa: E731
-            arr, jnp.clip(i, 0, H - 1), axis=1)
+        # a run is a mode candidate iff count >= every same-rank neighbor
+        # run count within ±W bins (at most W distinct bins per side =
+        # at most W positions per side on the compacted row)
         nb_max = jnp.zeros((B, H), jnp.int32)
-        idx_f = run_hi
-        idx_b = run_lo - 1
-        for _ in range(W):
-            kf = take(k_s, idx_f)
-            okf = (idx_f < H) & (kf // nbins == r_s) & (kf % nbins - d_s <= W)
-            cf = (take(runs.end, idx_f) - idx_f).astype(jnp.int32)
-            nb_max = jnp.maximum(nb_max, jnp.where(okf, cf, 0))
-            idx_f = idx_f + jnp.where(okf, cf, 0)
-            kb = take(k_s, idx_b)
-            lob = take(runs.start, idx_b)
-            okb = (idx_b >= 0) & (kb // nbins == r_s) & (d_s - kb % nbins <= W)
-            cb = (idx_b + 1 - lob).astype(jnp.int32)
-            nb_max = jnp.maximum(nb_max, jnp.where(okb, cb, 0))
-            idx_b = jnp.where(okb, lob, idx_b) - jnp.where(okb, 1, 0)
-        ismode = (is_start & val_s & (c_h >= max(1, mcfg.threshcount))
-                  & (c_h >= nb_max))
+        c_cov = cnt_c
+        for o, (rk_o, db_o, cn_o) in _nb.items():
+            m = (rk_o == rk_c) & (jnp.abs(db_o - db_c) <= W)
+            nb_max = jnp.maximum(nb_max, jnp.where(m, cn_o, 0))
+            c_cov = c_cov + jnp.where(m, cn_o, 0)
+        ismode = (val_c & (cnt_c >= max(1, mcfg.threshcount))
+                  & (cnt_c >= nb_max))
 
-        # U(d) = C(d) - D(d) at each mode candidate (see docstring);
-        # center d: <= W distinct bins on each side of the window
-        c_cov = window_count(d_s, W, W)
-        # consecutive same-(query-row, candidate) pairs from the per-row
-        # sort (a query hash's hits are contiguous rows of the (B, Q,
-        # depth) layout)
+        # U(d) = C(d) - D(d) at each mode candidate (see docstring):
+        # C = windowed hit count at d (c_cov above); D = #consecutive
+        # same-(query-row, candidate) pairs from the per-row sort (a query
+        # hash's hits are contiguous rows of the (B, Q, depth) layout)
+        # whose ±W windows both cover d
         rank3 = rank_f.reshape(B, Q, tcfg.depth)
         dtbin3 = dtbin_f.reshape(B, Q, tcfg.depth)
         r3s, d3s = jax.lax.sort((rank3, dtbin3), num_keys=2)
@@ -781,36 +760,35 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
                             0).reshape(B, NP) + W)
         ps_sorted = jax.lax.sort(pstart)
         pe_sorted = jax.lax.sort(pend)
-        mq = r_s * span + d_s + W
+        mq = rk_g * span + db_c + W
         d_cov = (_vss(ps_sorted, mq, "right")
                  - _vss(pe_sorted, mq - 1, "right")).astype(jnp.int32)
-        u_h = c_cov - d_cov
+        u_c = c_cov - d_cov
 
         mode_bins, mode_oks, mode_filts = [], [], []
         if mcfg.sort_by_time:
             # earliest valid modes, mirroring match_core (see comment there)
-            avail = ismode & (u_h >= mcfg.threshcount)
+            avail = ismode & (u_c >= mcfg.threshcount)
             for _s in range(Mc):
-                tscore = jnp.where(avail, nbins - 1 - d_s, -1)
-                best, bpos = per_rank_best(tscore, d_s, avail)
-                chosen = avail & (d_s == bpos[bidx, r_s])
-                # all chosen hits of a rank share one (rank, bin) run and
-                # thus one u_h value — the same segmented reduction
-                # recovers it scatter-free
-                uval, _ = per_rank_best(u_h, d_s, chosen)
+                tscore = jnp.where(avail, nbins - 1 - db_c, -1)
+                best, bpos = per_rank_best(tscore, db_c, avail)
+                chosen = avail & (db_c == bpos[bidx, rk_g])
+                # the chosen run is unique per rank — the same segmented
+                # reduction recovers its U value scatter-free
+                uval, _ = per_rank_best(u_c, db_c, chosen)
                 mode_bins.append(bpos[:, :SD])
                 mode_oks.append(best[:, :SD] >= 0)
                 mode_filts.append(uval[:, :SD])
                 avail = avail & ~chosen
         else:
-            score = jnp.where(ismode, u_h, -1)
+            score = jnp.where(ismode, u_c, -1)
             for _s in range(Mc):
-                best, bpos = per_rank_best(score, d_s, score >= 0)
+                best, bpos = per_rank_best(score, db_c, score >= 0)
                 mode_bins.append(bpos[:, :SD])
                 mode_oks.append(best[:, :SD] > 0)
                 mode_filts.append(best[:, :SD])
-                chosen = (score >= 0) & (score == best[bidx, r_s]) \
-                    & (d_s == bpos[bidx, r_s])
+                chosen = (score >= 0) & (score == best[bidx, rk_g]) \
+                    & (db_c == bpos[bidx, rk_g])
                 score = jnp.where(chosen, -1, score)
         mode_bin = jnp.stack(mode_bins, axis=-1)
         mode_ok = jnp.stack(mode_oks, axis=-1)

@@ -64,6 +64,12 @@ class Analyzer:
         # 65k/73k/75k audio-sec/s at 128/256/512 rows — 256 takes most of
         # the win at half the staging memory of 512.
         self.max_batch_rows = 256
+        # streamed (chunked) ingest for very long inputs: WAV-PCM files at
+        # the analysis rate longer than stream_above_sec analyze chunk-wise
+        # with O(chunk) host+device memory (models/streaming.py; SURVEY §5
+        # long-audio plan).  0 disables.
+        self.stream_above_sec = 3600.0
+        self.stream_chunk_frames = 8192
 
     # -- config ---------------------------------------------------------
 
@@ -110,6 +116,8 @@ class Analyzer:
             h = oa.landmarks2hashes(lmks)
             hashes = (np.unique(h, axis=0) if len(h)
                       else np.zeros((0, 2), np.int32))
+        elif self._should_stream(filename):
+            return self.wavfile2hashes_streaming(filename)
         else:
             d = self.read_audio(filename)
             return self.samples2hashes(d)
@@ -152,6 +160,34 @@ class Analyzer:
         hashes = self.wavfile2hashes(filename)
         ht.store_vectorized(filename, hashes)
         return self.soundfiledur, len(hashes)
+
+    # -- streamed (chunked) ingest for very long inputs -------------------
+
+    def _should_stream(self, filename: str) -> bool:
+        """True when this file exceeds stream_above_sec and is streamable
+        (PCM WAV at the analysis rate) — header probe only, no decode."""
+        if not self.stream_above_sec or not filename.lower().endswith(".wav"):
+            return False
+        from audfprint_tpu.models import streaming as STM
+        try:
+            src = STM.WavPCMSource(filename, self.target_sr)
+        except STM.StreamUnsupported:
+            return False
+        dur = src.n_samples / float(self.target_sr)
+        src.close()
+        return dur > self.stream_above_sec
+
+    def wavfile2hashes_streaming(self, filename: str,
+                                 chunk_frames: int | None = None
+                                 ) -> np.ndarray:
+        """Chunked analysis of an unbounded-length WAV: host and device
+        memory O(chunk) instead of O(file) (models/streaming.py)."""
+        from audfprint_tpu.models import streaming as STM
+        h, dur = STM.wavfile2hashes_streaming(
+            filename, self.config, self.target_sr,
+            chunk_frames or self.stream_chunk_frames)
+        self.soundfiledur = dur
+        return h
 
     # -- batched TPU API --------------------------------------------------
 
@@ -250,12 +286,19 @@ class Analyzer:
 
     def wavfiles2hashes(self, filenames: list) -> list:
         """Batched fingerprinting of many files -> list of (N, 2) arrays
-        (None for failed decodes when fail_on_error is False)."""
+        (None for failed decodes when fail_on_error is False).  Files past
+        the streaming threshold analyze chunk-wise instead of joining the
+        in-memory batch (O(chunk) memory for multi-hour inputs)."""
         signals, durs = [], []
         oks: list[bool] = []
-        for f in filenames:
+        streamed: dict[int, np.ndarray] = {}
+        for i, f in enumerate(filenames):
             try:
-                signals.append(self.read_audio(f))
+                if self._should_stream(f):
+                    streamed[i] = self.wavfile2hashes_streaming(f)
+                    signals.append(np.zeros(0, np.float32))
+                else:
+                    signals.append(self.read_audio(f))
                 durs.append(self.soundfiledur)
                 oks.append(True)
             except audio_io.DecodeError:
@@ -265,5 +308,7 @@ class Analyzer:
                 durs.append(0.0)
                 oks.append(False)
         hashes = self.samples_batch2hashes(signals)
+        for i, h in streamed.items():
+            hashes[i] = h
         self.durations = durs
         return [h if ok else None for h, ok in zip(hashes, oks)]

@@ -108,6 +108,53 @@ def fwd_prune(sgram: jax.Array, n_frames: jax.Array,
     return jnp.transpose(peaks_tm, (1, 0, 2))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "use_env_in"))
+def fwd_prune_carry(sgram: jax.Array, n_frames: jax.Array,
+                    env_in: jax.Array, cfg: PipelineConfig,
+                    use_env_in: bool):
+    """fwd_prune with an explicit threshold-envelope carry (streaming
+    ingest, ops/streaming.py).  use_env_in=False seeds the envelope from
+    the first <=10 valid frames exactly as fwd_prune (the oracle's
+    whole-file initialization); True continues from `env_in` (1, F).
+    Returns (peak mask (B, T, F), envelope after the last frame).
+
+    The per-frame decay multiplies after EVERY scan step, so the carry-out
+    equals the single-batch envelope only when every frame of the chunk is
+    valid — the streaming driver keeps all chunks full except the last,
+    whose carry is never consumed."""
+    B, T, F = sgram.shape
+    k = cfg.maxpksperframe
+    gtab = jnp.asarray(_gauss_table(cfg))
+    a_dec = jnp.float32(cfg.a_dec)
+    binid = jnp.arange(F, dtype=jnp.int32)
+
+    if use_env_in:
+        env0 = env_in
+    else:
+        t10 = jnp.minimum(10, jnp.maximum(1, n_frames))
+        sel = jnp.arange(T)[None, :] < t10[:, None]
+        vmax = jnp.max(jnp.where(sel[:, :, None], sgram, _NEG), axis=1)
+        vmax = jnp.where(jnp.isfinite(vmax), vmax, 0.0)
+        env0 = _spread_vector(vmax, gtab)
+
+    sg_tm = jnp.transpose(sgram, (1, 0, 2))
+    active_tm = (jnp.arange(T)[:, None] < n_frames[None, :])
+
+    def step(sthresh, inp):
+        s, active = inp
+        cand = locmax2(s) & (s > sthresh) & active[:, None]
+        vals, pos, pvalid = _topk_valdesc_posdesc(
+            jnp.where(cand, s, _NEG), k)
+        rows = gtab[pos]
+        contrib = jnp.where(pvalid[:, :, None], vals[:, :, None] * rows, 0.0)
+        new = jnp.maximum(sthresh, jnp.max(contrib, axis=1)) * a_dec
+        mask = jnp.any((pos[:, :, None] == binid) & pvalid[:, :, None], axis=1)
+        return new, mask
+
+    env_out, peaks_tm = jax.lax.scan(step, env0, (sg_tm, active_tm))
+    return jnp.transpose(peaks_tm, (1, 0, 2)), env_out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def bwd_prune(sgram: jax.Array, peaks: jax.Array, n_frames: jax.Array,
               cfg: PipelineConfig) -> jax.Array:

@@ -210,6 +210,63 @@ def bwd_prune(sgram: np.ndarray, peaks: np.ndarray,
     return out
 
 
+def bwd_prune_sparse(n_frames: int, pk_t: np.ndarray, pk_pos: np.ndarray,
+                     pk_val: np.ndarray, last_row: np.ndarray,
+                     params: P.AnalyzerParams | None = None) -> np.ndarray:
+    """Exact backward prune over a SPARSE forward-peak stream.
+
+    Identical decision sequence to `bwd_prune` (reference
+    audfprint_analyze.py:~252-278) without ever materializing the dense
+    (T, F) spectrogram: the backward pass only reads spectrogram values at
+    forward-surviving peaks plus the final frame's full row (its envelope
+    seed), so a streamed ingest (ops/streaming.py) can hand those in and
+    keep memory O(#peaks).
+
+    pk_t ascending frame indices, pk_pos bins, pk_val whitened-HPF values
+    at the peaks, last_row = whitened row at frame n_frames-1.  Returns a
+    bool keep-mask over the peaks.
+    """
+    params = params or P.AnalyzerParams()
+    last_row = np.asarray(last_row, dtype=np.float32)
+    F = len(last_row)
+    gvec = P.gaussian_template(params.f_sd, F - 1).astype(last_row.dtype)
+    gsize = (len(gvec) - 1) // 2
+    a_dec = last_row.dtype.type(params.a_dec)
+    n = len(pk_t)
+    keep = np.ones(n, dtype=bool)
+    if n_frames <= 0:
+        return keep
+    by_frame: dict[int, list[int]] = {}
+    idx_of: dict[tuple[int, int], int] = {}
+    for i in range(n):
+        t = int(pk_t[i])
+        by_frame.setdefault(t, []).append(i)
+        idx_of[(t, int(pk_pos[i]))] = i
+    sthresh = spreadpeaksinvector(last_row, params.f_sd, gvec=gvec
+                                  ).astype(last_row.dtype)
+    for t in range(n_frames - 1, -1, -1):
+        idxs = by_frame.get(t)
+        if idxs:
+            # within-frame (val desc, pos desc) order; (val, pos) is unique
+            # per frame so the trailing index never decides a tie
+            order = sorted(((pk_val[i], int(pk_pos[i]), i) for i in idxs),
+                           reverse=True)
+            for val, pos, i in order:
+                if val >= sthresh[pos]:
+                    lo = max(0, pos - gsize)
+                    hi = min(F, pos + gsize + 1)
+                    sthresh[lo:hi] = np.maximum(
+                        sthresh[lo:hi],
+                        val * gvec[lo - pos + gsize: hi - pos + gsize])
+                    j = idx_of.get((t + 1, pos))
+                    if j is not None:
+                        keep[j] = False
+                else:
+                    keep[i] = False
+        sthresh *= a_dec
+    return keep
+
+
 def find_peaks_mask(sgram: np.ndarray, params: P.AnalyzerParams | None = None
                     ) -> np.ndarray:
     """Whitened spectrogram (T, F) -> boolean peak mask (T, F)."""
