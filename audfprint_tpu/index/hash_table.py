@@ -402,13 +402,11 @@ class HashTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def merge(self, other: "HashTable") -> None:
-        """Combine another table into this one (hash_table.py:~340-400).
-
-        Other's ids are offset by len(self.names); other's *stored* entries
-        are replayed through the reservoir continuing from self's counts, then
-        counts are set to the combined true insertion pressure.
-        """
+    def _merge_meta(self, other: "HashTable") -> int:
+        """Parameter checks + id-space bookkeeping shared by the host merge
+        and the CLI's device merge path (parallel.sharded.sharded_merge_fn):
+        validates compatibility, extends names/hashesperid, and returns the
+        id offset to apply to other's entries."""
         if (other.hashbits != self.hashbits or other.depth != self.depth
                 or other.maxtime != self.maxtime
                 or other.idbits_eff != self.idbits_eff):
@@ -418,7 +416,29 @@ class HashTable:
         if len(other.names):
             self._check_id_capacity(idoffset + len(other.names) - 1)
         self.names.extend(other.names)
-        self.hashesperid = np.concatenate([self.hashesperid, other.hashesperid])
+        self.hashesperid = np.concatenate([self.hashesperid,
+                                           other.hashesperid])
+        return idoffset
+
+    def _merge_counts(self, other: "HashTable") -> None:
+        """Post-merge count/param bookkeeping shared with the device merge:
+        counts become the combined true insertion pressure (what the
+        reference records; replaying stored entries alone would undercount
+        where `other` overflowed, changing later merges' slot decisions)."""
+        self.counts = self.counts + other.counts
+        if not self.params and other.params:
+            self.params = dict(other.params)
+        self.dirty = True
+        self.rev += 1
+
+    def merge(self, other: "HashTable") -> None:
+        """Combine another table into this one (hash_table.py:~340-400).
+
+        Other's ids are offset by len(self.names); other's *stored* entries
+        are replayed through the reservoir continuing from self's counts, then
+        counts are set to the combined true insertion pressure.
+        """
+        idoffset = self._merge_meta(other)
         idoffsetval = self.table.dtype.type(idoffset << self.maxtimebits)
         # Vectorized replay of other's stored entries in (bucket, slot) order
         # — the same sort/rank/scatter formulation as store_vectorized, O(N
@@ -437,12 +457,7 @@ class HashTable:
                                     self.seed))
             write = slot < self.depth
             self.table[hs[write], slot[write]] = es[write]
-        # true combined pressure, as the reference records
-        self.counts = self.counts + other.counts
-        if not self.params and other.params:
-            self.params = dict(other.params)
-        self.dirty = True
-        self.rev += 1
+        self._merge_counts(other)
 
     def remove(self, name) -> None:
         """Delete all entries for `name`, compacting buckets (O(table)).

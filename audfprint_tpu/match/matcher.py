@@ -223,30 +223,24 @@ class Matcher:
         maxt = max([1] + [int(h[:, 0].max()) + 1 for h in hash_lists
                           if len(h)])
         qt_cap = _next_pow2(maxt, 2048)
-        # voting-memory envelope: the hist core's bin-domain buffers grow
-        # with query length.  Oversized batches are handled by SPLITTING
-        # over the fast hist core; the measured-slower sort-based core
-        # (O(B*H) memory, maxtime-independent) is dispatched only when even
-        # a single row's hist buffers would blow the budget (very long
-        # queries / deep searches, where the buffers cannot exist at all)
+        # voting-memory envelope.  Single-device matching uses the
+        # compacted-RLE ("sorted") core — fastest at every measured scale
+        # since round 4 AND O(B*H) memory independent of maxtime/query
+        # length, so the envelope only ever splits the batch.  The sharded
+        # path keeps the psum-combinable hist core, whose bin-domain
+        # buffers grow with query length: a query too long for even one
+        # row's hist buffers drops to one device (bit-identical) instead
+        # of OOMing mid-mesh.
         budget = self._budget_bytes()
-        per_row = self._voting_bytes_per_row(tcfg, qt_cap, Q)
-        core = "hist"
+        core = "hist" if mesh is not None else "sorted"
         if self.force_core is not None and mesh is None:
             # benchmark/testing hook: pin the voting core regardless of the
-            # memory envelope (both cores are bit-identical; this exists so
+            # dispatch policy (both cores are bit-identical; this exists so
             # perf harnesses can A/B them on hardware)
             core = self.force_core
-            if core == "sorted":
-                per_row = self._sorted_bytes_per_row(tcfg, Q)
-        elif per_row > budget:
-            # even a single row's hist buffers exceed the envelope (very
-            # long query x deep search): switch to the maxtime-independent
-            # sorted core.  The sharded path has no psum-combinable sorted
-            # core, so such a call drops to one device for bit-identical
-            # results instead of OOMing mid-mesh (rare; the table upload
-            # is cached per revision like any other)
-            if mesh is not None:
+        if mesh is not None:
+            per_row = self._voting_bytes_per_row(tcfg, qt_cap, Q)
+            if per_row > budget:
                 if self.verbose:
                     print("Note: query exceeds the sharded voting memory "
                           "envelope; matching this batch single-device")
@@ -254,7 +248,10 @@ class Matcher:
                 table, counts, tcfg = DT.table_to_device(ht)
                 hpi = jax.device_put(np.asarray(hpi))
                 mesh = None
-            core = "sorted"
+                core = "sorted"
+        if core == "hist" and mesh is None:
+            per_row = self._voting_bytes_per_row(tcfg, qt_cap, Q)
+        if core == "sorted":
             per_row = self._sorted_bytes_per_row(tcfg, Q)
         # sub-batch size is a POWER OF TWO, not B itself: callers with
         # varying batch sizes (the --listen loop's dynamic batching drains
@@ -266,7 +263,7 @@ class Matcher:
         bsub = _next_pow2(B)
         if bsub > cap:
             bsub = 1 << max(0, cap.bit_length() - 1)
-        if (core == "sorted" or bsub < B) and self.verbose:
+        if bsub < B and self.verbose:
             print(f"Note: using the {core} voting core, "
                   f"splitting {B} queries into sub-batches of {bsub} "
                   f"(voting buffers ~{per_row >> 20} MiB/query at "

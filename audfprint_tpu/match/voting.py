@@ -841,11 +841,13 @@ def match_batch_sorted(table: jax.Array, counts: jax.Array,
                        hashesperid: jax.Array, qtimes: jax.Array,
                        qhashes: jax.Array, qvalid: jax.Array,
                        tcfg: DT.TableConfig, mcfg: MatchConfig):
-    """Single-device matching via the sort/searchsorted core — O(B*H)
-    memory independent of maxtime and query length.  Bit-identical to
-    match_batch_hist; measured ~1.5-2x slower at ordinary shapes on v5e,
-    so the Matcher dispatches here only when the hist buffers would not
-    fit the memory budget (very long queries x large batches)."""
+    """Single-device matching via the compacted-RLE core — O(B*H) memory
+    independent of maxtime and query length, and the FAST single-device
+    path since the round-4 rewrite (same-session A/B on the v5e chip,
+    B=128 approx: 1343 vs 629 q/s at 1k tracks, 1287 vs 1172 at 100k —
+    the hist core's scatter-add wall is gone).  Bit-identical to
+    match_batch_hist across the full option matrix (test_multimode); the
+    shard_map path keeps the psum-combinable hist core."""
     return match_core_sorted(table, counts, hashesperid, qtimes, qhashes,
                              qvalid, tcfg, mcfg)
 
@@ -884,6 +886,7 @@ def match_batch_packed(table: jax.Array, counts: jax.Array,
         axis=-1)
 
 
-# default single-device entry: the hist core (fastest at ordinary shapes);
-# the Matcher dispatches to match_batch_sorted past the memory envelope
-match_batch = match_batch_hist
+# default single-device entry: the compacted-RLE core (fastest at every
+# measured scale since round 4, and maxtime-independent in memory); the
+# sharded path keeps the psum-combinable hist core
+match_batch = match_batch_sorted

@@ -1,0 +1,151 @@
+"""Probe: per-stage device time of the round-4 compacted-RLE voting core.
+
+Prefix graphs at config-5 shapes (100k-track table, B=128, Q=128,
+SD=100), each reduced to one scalar fetch; inputs pre-staged on device
+and varied per call (relay memoizes identical executions; SKILL.md).
+The marginal deltas attribute the batch time across: dispatch constant,
+hits gather, candidate selection, key-sort+compaction, mode/count vector
+work (shifts + segmented reductions + ranking).
+
+Run on the chip:  python benchmarks/voting_probe.py [--tracks N] [--exact]
+"""
+
+import argparse
+import sys
+import time
+import os
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tracks", type=int, default=102400)
+    ap.add_argument("--B", type=int, default=128)
+    ap.add_argument("--Q", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--exact", action="store_true")
+    args = ap.parse_args()
+
+    import audfprint_tpu.utils.jaxconfig as jc
+    jc.setup()
+    import jax
+    import jax.numpy as jnp
+
+    from audfprint_tpu.index import device_table as DT
+    from audfprint_tpu.match import voting
+
+    B, Q, SD = args.B, args.Q, 100
+    depth = 100
+    tcfg = DT.TableConfig(hashbits=20, depth=depth, maxtimebits=14, seed=0)
+    ncap = 1 << max(12, int(np.ceil(np.log2(max(2, args.tracks)))))
+    mcfg = voting.MatchConfig(search_depth=SD, qt_cap=2048, n_ids_cap=ncap,
+                              exact_count=args.exact)
+    nbins = tcfg.maxtime + mcfg.qt_cap
+    H = Q * depth
+
+    rng = np.random.default_rng(3)
+    # synthetic loaded table at config-5 occupancy (~30 entries/bucket)
+    nhash = args.tracks * 300
+    counts_h = np.bincount(
+        rng.integers(0, 1 << 20, nhash), minlength=1 << 20).astype(np.int32)
+    stored = np.minimum(counts_h, depth)
+    table_h = ((rng.integers(0, args.tracks, (1 << 20, depth),
+                             dtype=np.int64) << 14)
+               | rng.integers(0, 1 << 14, (1 << 20, depth), dtype=np.int64))
+    table_h = np.where(np.arange(depth)[None, :] < stored[:, None],
+                       table_h, 0).astype(np.uint32)
+    table = jnp.asarray(table_h)
+    counts = jnp.asarray(counts_h)
+    hpi = jnp.asarray(np.full(ncap, 300, np.int32))
+
+    def staged(n):
+        out = []
+        for _ in range(n):
+            qt = jnp.asarray(rng.integers(0, 256, (B, Q)), jnp.int32)
+            qh = jnp.asarray(rng.integers(0, 1 << 20, (B, Q)), jnp.int32)
+            qv = jnp.asarray(np.ones((B, Q), bool))
+            out.append((qt, qh, qv))
+        for t in out:
+            np.asarray(t[0][0, :1])
+        return out
+
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, H))
+
+    @jax.jit
+    def p0_null(qt, qh, qv):
+        return (qt[0, 0] + qh[0, 0]).astype(jnp.float32)
+
+    @jax.jit
+    def p1_hits(qt, qh, qv):
+        ids3, dts3, hv3 = DT.get_hits_local(table, counts, qt, qh, qv,
+                                            tcfg, 0)
+        return (jnp.sum(ids3 & 1023) + jnp.sum(dts3 & 1023)).astype(
+            jnp.float32)
+
+    @jax.jit
+    def p2_select(qt, qh, qv):
+        ids3, dts3, hv3 = DT.get_hits_local(table, counts, qt, qh, qv,
+                                            tcfg, 0)
+        id_f = ids3.reshape(B, H)
+        v_f = hv3.reshape(B, H)
+        cand_ids, cand_raw, cand_valid, rank_f = voting._select_candidates(
+            id_f, v_f, bidx, hpi, mcfg)
+        return (jnp.sum(cand_ids & 1023) + jnp.sum(rank_f)).astype(
+            jnp.float32)
+
+    @jax.jit
+    def p3_compact(qt, qh, qv):
+        ids3, dts3, hv3 = DT.get_hits_local(table, counts, qt, qh, qv,
+                                            tcfg, 0)
+        id_f = ids3.reshape(B, H)
+        dt_f = dts3.reshape(B, H)
+        v_f = hv3.reshape(B, H)
+        cand_ids, cand_raw, cand_valid, rank_f = voting._select_candidates(
+            id_f, v_f, bidx, hpi, mcfg)
+        dtbin_f = jnp.clip(dt_f + mcfg.qt_cap, 0, nbins - 1)
+        k_s = jax.lax.sort(rank_f * nbins + dtbin_f)
+        iota_h = jnp.broadcast_to(
+            jnp.arange(H, dtype=jnp.int32)[None], (B, H))
+        runs = voting._Runs.of(k_s)
+        first = iota_h == runs.start
+        c_run = (runs.end - runs.start).astype(jnp.int32)
+        SENT = (SD + 1) * nbins
+        ks_c, cnt_c = jax.lax.sort(
+            (jnp.where(first, k_s, SENT), jnp.where(first, c_run, 0)),
+            num_keys=1)
+        return (jnp.sum(ks_c & 1023) + jnp.sum(cnt_c)).astype(jnp.float32)
+
+    @jax.jit
+    def p4_full(qt, qh, qv):
+        out = voting.match_batch_packed(table, counts, hpi, qt, qh, qv,
+                                        tcfg, mcfg, core="sorted")
+        return jnp.sum(out).astype(jnp.float32)
+
+    @jax.jit
+    def p5_hist(qt, qh, qv):
+        out = voting.match_batch_packed(table, counts, hpi, qt, qh, qv,
+                                        tcfg, mcfg, core="hist")
+        return jnp.sum(out).astype(jnp.float32)
+
+    probes = [("null(dispatch)", p0_null), ("hits-gather", p1_hits),
+              ("+selection", p2_select), ("+sort+compact", p3_compact),
+              ("full-rle", p4_full), ("full-hist", p5_hist)]
+    st = staged(args.iters + 1)
+    prev = 0.0
+    for name, fn in probes:
+        float(fn(*st[0]))
+        t0 = time.time()
+        for k in range(args.iters):
+            float(fn(*st[k + 1]))
+        ms = (time.time() - t0) / args.iters * 1e3
+        print(f"{name:>16}: {ms:7.1f} ms  (delta {ms - prev:+7.1f})",
+              flush=True)
+        if name != "full-rle":
+            prev = ms
+
+
+if __name__ == "__main__":
+    main()

@@ -44,15 +44,40 @@ def _session(tmpdir, capture, extra=()):
     audio_write_wav(os.path.join(tmpdir, "query.wav"), q, SR)
     db = os.path.join(tmpdir, "db.pklz")
     wavs = [os.path.join(tmpdir, f"track{i}.wav") for i in range(3)]
+    query = os.path.join(tmpdir, "query.wav")
     main(["new", "-d", db, *COMMON, *extra, *wavs])
-    main(["match", "-d", db, *COMMON, *extra,
-          os.path.join(tmpdir, "query.wav")])
-    main(["match", "-d", db, *COMMON, *extra, "-R", "-X",
-          os.path.join(tmpdir, "query.wav")])
+    main(["match", "-d", db, *COMMON, *extra, query])
+    main(["match", "-d", db, *COMMON, *extra, "-R", "-X", query])
     main(["list", "-d", db, *COMMON])
     main(["remove", "-d", db, *COMMON, wavs[2]])
-    main(["match", "-d", db, *COMMON, *extra,
-          os.path.join(tmpdir, "query.wav")])
+    main(["match", "-d", db, *COMMON, *extra, query])
+    # -- full-surface coverage (VERDICT r3 #6): precompute (+ -K), ingest
+    #    from .afpt/.afpk, add, -o opfile, merge, newmerge, -i shifts --
+    pre = os.path.join(tmpdir, "pre")
+    main(["precompute", "-p", pre, *COMMON, *extra, wavs[0], wavs[1]])
+    main(["precompute", "-K", "-p", pre, *COMMON, *extra, wavs[2]])
+    afpt = [os.path.join(pre, tmpdir.lstrip(os.sep),
+                         f"track{i}.afpt") for i in range(2)]
+    afpk2 = os.path.join(pre, tmpdir.lstrip(os.sep), "track2.afpk")
+    db2 = os.path.join(tmpdir, "db2.pklz")
+    main(["new", "-d", db2, *COMMON, *extra, *afpt])
+    main(["add", "-d", db2, *COMMON, *extra, afpk2])
+    op = os.path.join(tmpdir, "match.out")
+    main(["match", "-d", db2, *COMMON, *extra, "-o", op, query])
+    print("--- opfile ---")
+    sys.stdout.write(open(op).read())
+    dbs = os.path.join(tmpdir, "dbshard.pklz")
+    db4 = os.path.join(tmpdir, "db4.pklz")
+    main(["new", "-d", dbs, *COMMON, *extra, wavs[2]])
+    main(["new", "-d", db4, *COMMON, *extra, wavs[0]])
+    main(["merge", "-d", db4, *COMMON, *extra, dbs])
+    main(["match", "-d", db4, *COMMON, *extra, query])
+    db5 = os.path.join(tmpdir, "db5.pklz")
+    main(["newmerge", "-d", db5, *COMMON, *extra, db4, db2])
+    main(["list", "-d", db5, *COMMON])
+    db6 = os.path.join(tmpdir, "db6.pklz")
+    main(["new", "-d", db6, *COMMON, *extra, "-i", "2", wavs[2]])
+    main(["match", "-d", db6, *COMMON, *extra, "-i", "2", query])
     return capture()
 
 

@@ -234,11 +234,12 @@ def test_search_depth_beyond_hit_capacity():
         np.testing.assert_array_equal(got, want)
 
 
-def test_memory_budget_prefers_hist_splitting(capsys):
-    """When one query row's hist buffers fit the budget but the batch
-    doesn't, the matcher must SPLIT over the fast hist core — not switch
-    the whole batch to the measured-slower sorted core (round-2 review
-    finding)."""
+def test_memory_budget_splits_over_rle_core(capsys):
+    """When the batch exceeds the memory budget, the matcher SPLITS into
+    sub-batches over the default compacted-RLE core (round-4 policy: the
+    RLE core is both the fast and the memory-light single-device core —
+    its O(B*H) buffers are maxtime-independent, so splitting is always
+    the right response; the hist core remains the shard_map path)."""
     from audfprint_tpu.match.matcher import Matcher
     ht = HashTable(hashbits=TCFG.hashbits, depth=TCFG.depth,
                    maxtime=TCFG.maxtime, seed=TCFG.seed)
@@ -252,13 +253,13 @@ def test_memory_budget_prefers_hist_splitting(capsys):
     m = Matcher(threshcount=5, search_depth=8)
     want = m.match_hashes_batch(ht, queries)
     m2 = Matcher(threshcount=5, search_depth=8)
-    # budget sized for ~2 rows of hist buffers: per_row fits, 4 rows don't
-    # (Q=128 — the matcher's padding floor — so the estimate matches the
-    # int16 sizing the dispatch itself will use)
-    m2.mem_budget_bytes = 2 * m2._voting_bytes_per_row(TCFG, 2048, 128)
+    # budget sized for ~2 rows of RLE buffers: per_row fits, 4 rows don't
+    # (Q=128 — the matcher's padding floor — matching the dispatch's own
+    # sizing)
+    m2.mem_budget_bytes = 2 * m2._sorted_bytes_per_row(TCFG, 128)
     got = m2.match_hashes_batch(ht, queries)
     out = capsys.readouterr().out
-    assert "hist voting core" in out and "sub-batches of 2" in out
+    assert "sorted voting core" in out and "sub-batches of 2" in out
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
 

@@ -50,3 +50,53 @@ def test_sharded_merge_matches_host(rng):
     assert np.array_equal(t_got, want.table)
     no_b_overflow = ht_b.counts <= TCFG.depth
     assert np.array_equal(c_got[no_b_overflow], want.counts[no_b_overflow])
+
+
+def test_cli_device_merge_chain_matches_host(rng, tmp_path):
+    """CLI do_merge over a mesh == the chained host merge, INCLUDING a
+    source whose buckets overflow (the device counts are re-synced to true
+    pressure between sources, so the next source's slot decisions match
+    the host chain exactly — VERDICT r3 #5)."""
+    from types import SimpleNamespace
+
+    from audfprint_tpu import cli
+    from audfprint_tpu.utils.timing import Stages
+
+    ht_a = _ht(rng, ["a0", "a1"])
+    # overflowing source: many entries in few buckets
+    ht_b = HashTable(hashbits=TCFG.hashbits, depth=TCFG.depth,
+                     maxtime=TCFG.maxtime)
+    for n in ("b0", "b1"):
+        pairs = np.stack([rng.integers(0, TCFG.maxtime, 400),
+                          rng.integers(0, 16, 400)], axis=1).astype(np.int32)
+        ht_b.store(n, pairs)
+    assert (ht_b.counts > TCFG.depth).any()
+    ht_c = _ht(rng, ["c0"])
+
+    paths = []
+    for i, src in enumerate((ht_b, ht_c)):
+        p = str(tmp_path / f"src{i}.pklz")
+        src.save(p)
+        paths.append(p)
+
+    want = _ht(rng, [])
+    want.table[:] = ht_a.table
+    want.counts[:] = ht_a.counts
+    want.names = list(ht_a.names)
+    want.hashesperid = ht_a.hashesperid.copy()
+    for p in paths:
+        want.merge(HashTable(p))
+
+    got = _ht(rng, [])
+    got.table[:] = ht_a.table
+    got.counts[:] = ht_a.counts
+    got.names = list(ht_a.names)
+    got.hashesperid = ht_a.hashesperid.copy()
+    args = SimpleNamespace(ndev=8)
+    msgs = []
+    cli.do_merge(got, paths, args, msgs.append, Stages())
+    assert np.array_equal(got.table, want.table)
+    assert np.array_equal(got.counts, want.counts)
+    assert got.names == want.names
+    assert np.array_equal(got.hashesperid, want.hashesperid)
+    assert len(msgs) == 2 and msgs[0].startswith("merged ")
