@@ -449,6 +449,42 @@ def test_match_listen_serving_loop(fixture_dir, tmp_path, capsys,
     assert "Error reading" in served and "Matched" in served
 
 
+def test_match_listen_mixed_inputs_out_of_order_pressure(
+        fixture_dir, tmp_path, capsys, monkeypatch):
+    """Out-of-order completion pressure (VERDICT r3 #9): a flooded backlog
+    interleaving instant precomputed .afpt inputs with wav inputs (decode
+    cost) must still emit every result in exact input order, with results
+    equal to batch mode over the same list."""
+    import io
+
+    db = tmp_path / "listenm.pklz"
+    _run(capsys, ["new", "-d", db, *COMMON,
+                  *(fixture_dir / f"track{i}.wav" for i in range(3))])
+    # precompute the query -> instant hash-load input
+    _run(capsys, ["precompute", "-p", tmp_path / "pre", *COMMON,
+                  fixture_dir / "query.wav"])
+    import glob
+    afpt = glob.glob(str(tmp_path / "pre" / "**" / "query.afpt"),
+                     recursive=True)[0]
+    qw = str(fixture_dir / "query.wav")
+    nz = str(fixture_dir / "noise.wav")
+    queries = [qw, afpt, nz, afpt, qw, afpt, nz, afpt]
+
+    batch = _run(capsys, ["match", "-d", db, *COMMON, *queries])
+    monkeypatch.setattr("sys.stdin", io.StringIO("".join(
+        q + "\n" for q in queries)))
+    served = _run(capsys, ["match", "-d", db, *COMMON, "--listen"])
+
+    def result_lines(out):
+        return [ln for ln in out.splitlines()
+                if ln.startswith(("Matched", "NOMATCH"))]
+    got = result_lines(served)
+    assert got == result_lines(batch)
+    # order pin: each result line names its own query, in input order
+    for ln, q in zip(got, queries):
+        assert q in ln, (ln, q)
+
+
 def test_match_listen_opfile_flushes_per_query(fixture_dir, tmp_path,
                                                capsys, monkeypatch):
     """With -o, an INTERACTIVE caller (write a path, wait for its result,
