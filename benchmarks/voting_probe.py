@@ -74,19 +74,22 @@ def main():
 
     bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, H))
 
+    # table/counts/hpi are explicit jit ARGUMENTS, not closure captures:
+    # a closed-over 400 MB device array becomes a compile-request constant
+    # and the axon relay rejects the body (HTTP 413)
     @jax.jit
-    def p0_null(qt, qh, qv):
+    def p0_null(table, counts, hpi, qt, qh, qv):
         return (qt[0, 0] + qh[0, 0]).astype(jnp.float32)
 
     @jax.jit
-    def p1_hits(qt, qh, qv):
+    def p1_hits(table, counts, hpi, qt, qh, qv):
         ids3, dts3, hv3 = DT.get_hits_local(table, counts, qt, qh, qv,
                                             tcfg, 0)
         return (jnp.sum(ids3 & 1023) + jnp.sum(dts3 & 1023)).astype(
             jnp.float32)
 
     @jax.jit
-    def p2_select(qt, qh, qv):
+    def p2_select(table, counts, hpi, qt, qh, qv):
         ids3, dts3, hv3 = DT.get_hits_local(table, counts, qt, qh, qv,
                                             tcfg, 0)
         id_f = ids3.reshape(B, H)
@@ -97,7 +100,7 @@ def main():
             jnp.float32)
 
     @jax.jit
-    def p3_compact(qt, qh, qv):
+    def p3_compact(table, counts, hpi, qt, qh, qv):
         ids3, dts3, hv3 = DT.get_hits_local(table, counts, qt, qh, qv,
                                             tcfg, 0)
         id_f = ids3.reshape(B, H)
@@ -119,13 +122,13 @@ def main():
         return (jnp.sum(ks_c & 1023) + jnp.sum(cnt_c)).astype(jnp.float32)
 
     @jax.jit
-    def p4_full(qt, qh, qv):
+    def p4_full(table, counts, hpi, qt, qh, qv):
         out = voting.match_batch_packed(table, counts, hpi, qt, qh, qv,
                                         tcfg, mcfg, core="sorted")
         return jnp.sum(out).astype(jnp.float32)
 
     @jax.jit
-    def p5_hist(qt, qh, qv):
+    def p5_hist(table, counts, hpi, qt, qh, qv):
         out = voting.match_batch_packed(table, counts, hpi, qt, qh, qv,
                                         tcfg, mcfg, core="hist")
         return jnp.sum(out).astype(jnp.float32)
@@ -136,10 +139,10 @@ def main():
     st = staged(args.iters + 1)
     prev = 0.0
     for name, fn in probes:
-        float(fn(*st[0]))
+        float(fn(table, counts, hpi, *st[0]))
         t0 = time.time()
         for k in range(args.iters):
-            float(fn(*st[k + 1]))
+            float(fn(table, counts, hpi, *st[k + 1]))
         ms = (time.time() - t0) / args.iters * 1e3
         print(f"{name:>16}: {ms:7.1f} ms  (delta {ms - prev:+7.1f})",
               flush=True)
