@@ -195,11 +195,13 @@ class Matcher:
             per += (SD + 1) * qt_cap * itemsize
         return per
 
-    @staticmethod
-    def _sorted_bytes_per_row(tcfg, Q: int) -> int:
+    def _sorted_bytes_per_row(self, tcfg, Q: int) -> int:
         """Sorted-core footprint estimate: ~16 hit-domain int32 arrays per
-        row (sorts double-buffer), independent of maxtime/query length."""
-        return 16 * Q * tcfg.depth * 4
+        row (sorts double-buffer), independent of maxtime/query length.
+        Exact-count adds the 3H-wide merged event/run sort (5 operands,
+        double-buffered) — roughly 2.5x the approx footprint."""
+        per = 16 * Q * tcfg.depth * 4
+        return per * 5 // 2 if self.exact_count else per
 
     def match_hashes(self, ht, hashes) -> np.ndarray:
         """Query (t, hash) rows -> (k, 6) int64 result rows

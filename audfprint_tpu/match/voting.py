@@ -511,36 +511,51 @@ def _rank_rows(cand_ids, cand_raw, cand_valid, mode_bin, mode_ok, filt,
     }
 
 
-def _vss(sorted2d: jax.Array, q2d: jax.Array, side: str) -> jax.Array:
-    """Row-wise searchsorted: (B, N) sorted rows x (B, M) queries."""
-    return jax.vmap(
-        lambda a, v: jnp.searchsorted(a, v, side=side, method="sort")
-    )(sorted2d, q2d)
-
-
 class _Runs(NamedTuple):
     """Run structure of a sorted (B, H) key array: for every position, the
     index of its run's first element (`start`) and one past its run's last
     element (`end`).  Runs = maximal blocks of equal keys.  Built with two
-    scans — no searchsorted (each `_vss` call hides a (B, 2H) sort, and on
-    TPU wide sorts are compute-bound at ~5x their bandwidth estimate)."""
+    scans — no searchsorted (a row-wise searchsorted hides a (B, 2H) sort,
+    and on TPU wide sorts are compute-bound at ~5x their bandwidth
+    estimate)."""
     start: jax.Array
     end: jax.Array
 
     @classmethod
     def of(cls, keys_sorted: jax.Array) -> "_Runs":
-        B, H = keys_sorted.shape
-        iota = jnp.broadcast_to(
-            jnp.arange(H, dtype=jnp.int32)[None], (B, H))
+        B = keys_sorted.shape[0]
         first = jnp.concatenate(
             [jnp.ones((B, 1), bool),
              keys_sorted[:, 1:] != keys_sorted[:, :-1]], axis=1)
+        return cls.from_first(first)
+
+    @classmethod
+    def from_first(cls, first: jax.Array) -> "_Runs":
+        B, H = first.shape
+        iota = jnp.broadcast_to(
+            jnp.arange(H, dtype=jnp.int32)[None], (B, H))
         a = jnp.where(first, iota, H)
         nxt_incl = jnp.flip(jax.lax.cummin(jnp.flip(a, 1), axis=1), 1)
         end = jnp.concatenate(
             [nxt_incl[:, 1:], jnp.full((B, 1), H, jnp.int32)], axis=1)
         start = jax.lax.cummax(jnp.where(first, iota, 0), axis=1)
         return cls(start=start, end=end)
+
+
+def _seg_spread(first: jax.Array, *vals: jax.Array) -> tuple:
+    """Segmented forward propagation: out_i = vals_i where first_i else
+    out_{i-1} — i.e. every position receives its segment's FIRST value.
+    One associative scan; associative by the standard last-reset-wins
+    combine.  The scatter/gather-free primitive behind dtmin, per-hit
+    candidate metadata, and segment-final broadcasts."""
+
+    def comb(x, y):
+        fx, *vx = x
+        fy, *vy = y
+        return (fx | fy, *[jnp.where(fy, b, a) for a, b in zip(vx, vy)])
+
+    out = jax.lax.associative_scan(comb, (first, *vals), axis=1)
+    return tuple(out[1:])
 
 
 def _shifted(a: jax.Array, o: int, fill) -> jax.Array:
@@ -559,20 +574,34 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
                       hashesperid: jax.Array, qtimes: jax.Array,
                       qhashes: jax.Array, qvalid: jax.Array,
                       tcfg: DT.TableConfig, mcfg: MatchConfig):
-    """Single-device voting with NO histogram-sized buffers: the
-    compacted run-length (RLE) core.
+    """Single-device voting: the FUSED compacted run-length (RLE) core.
 
     The hist-based match_core materializes (B, SD, maxtime + qt_cap)
     integer buffers and builds them with a scatter-add that serializes on
     conflicting indices — measured as the single largest op of a config-5
     match batch (docs/DESIGN.md "What bounds matching").  This core never
-    leaves the hit domain.  After the (rank, bin) key sort, one more
-    2-operand sort COMPACTS the distinct (rank, bin) runs to the front of
-    the row (run starts carry ascending distinct keys; non-starts become
-    inert sentinels).  On the compacted array, bins within a rank are
-    strictly increasing, so every ±W bin window spans at most W array
-    positions per side — all windowed quantities become static shifted
-    adds/maxes (pure VPU work, no scatter, no gather):
+    leaves the hit domain, and since the round-4 fusion pass it runs the
+    WHOLE match on two wide sorts (TPU sorts are the cost unit here —
+    each (B, H) sort measured ~12 ms at config-5 shapes through the
+    relay, and the pre-fusion core issued five):
+
+      F1  one (id, bin) 2-key sort of all hits.  Its id-run structure
+          drives candidate selection (raw counts = run lengths); its
+          (id, bin)-run structure drives the voting.
+      F2  one (wc desc, id desc) 3-operand sort over the id-run STARTS —
+          upstream's np.argsort(wcounts)[::-1] candidate rule
+          (audfprint_match.py:~180 _best_count_ids).  Each candidate
+          carries its F1 hit-segment [start, start+raw) out of this sort,
+          so NO (B, n_ids_cap) rankmap is ever built — at 1M tracks the
+          rankmap alone was a 537 MB buffer and the measured reason the
+          1M-track rate trailed the 100k rate.
+
+    (id, bin) runs are then COMPACTED to the front of the row by a
+    unique-index scatter (each run start's target slot = its run index —
+    no conflicts, no extra sort).  On the compacted array, bins within an
+    id segment are strictly increasing, so every ±W bin window spans at
+    most W array positions per side — all windowed quantities become
+    static shifted adds/maxes (pure VPU work):
 
       * windowed-sum mode (approx): the +/-W smeared histogram is
         piecewise constant between event points, and its first masked
@@ -582,31 +611,33 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
         smallest p).
       * raw-histogram local maxima (exact): a run is a mode candidate iff
         its count >= every neighbor run count within ±W bins (offsets
-        -W..+W) and >= threshcount — the oracle find_modes.
+        -W..+W) and >= threshcount — the oracle find_modes
+        (audfprint_match.py:~120).
       * exact unique-row count U(d) = C(d) - D(d): C = windowed run-count
-        sum (shifts again); D = #consecutive same-(query-row, candidate)
-        sorted hit pairs whose windows both cover d (coverage-interval
-        telescoping identity; see match_core), counted by searchsorted
-        over the sorted pair-interval endpoints.
+        sum (shifts again); D = #consecutive same-(query-row, id) sorted
+        hit pairs whose windows both cover d (coverage-interval
+        telescoping identity; see match_core), counted by ONE merged
+        event/run 3-key sort: +1 events at (id, dhi-W), -1 events at
+        (id, dlo+W+1), runs tagged to sort after same-bin events; a
+        cumsum of the merged weights read back at the run positions IS
+        D at every run.  (Replaces two pair-endpoint sorts plus two
+        hidden searchsorted sorts of the pre-fusion core.)
 
-    Per-candidate winners come from a segmented running max over the
-    rank-contiguous compacted rows (associative_scan; packed (score, pos)
-    int32 keys) — no (B, H) -> (B, SD) scatter anywhere.
-
-    Everything is O(B*H log H) with H = Q * depth, independent of maxtime
-    and query length.  Bit-identical to match_core / the oracle (shared
-    tests); match_batch dispatches here for single-device matching, while
-    the sharded path keeps the psum-combinable hist core.
+    Per-id winners come from a segmented lexicographic-max running scan
+    ((score desc, bin asc) with segment-boundary resets) read at each
+    candidate's segment end — no (B, H) -> (B, SD) scatter, no packing
+    range limits.  Everything is O(B*H log H) with H = Q * depth,
+    independent of maxtime, query length, AND track count.  Bit-identical
+    to match_core / the oracle (shared tests); match_batch dispatches
+    here for single-device matching, while the sharded path keeps the
+    psum-combinable hist core.
     """
     B, Q = qhashes.shape
     SD = mcfg.search_depth
     W = mcfg.window
     Mc = max(1, mcfg.modes_cap) if mcfg.exact_count else 1
+    N = mcfg.n_ids_cap
     nbins = tcfg.maxtime + mcfg.qt_cap
-    # widest combined keys: pair intervals use span = nbins + 2W + 2 and
-    # qtime keys use qspan = qt_cap + 1 <= span, both scaled by rank <= SD+1
-    assert (SD + 2) * (nbins + 2 * W + 2) < 2**31, \
-        "rank/bin key exceeds int32 (reduce search_depth or query length)"
 
     ids3, dts3, hv3 = DT.get_hits_local(
         table, counts, qtimes, qhashes, qvalid, tcfg, 0)
@@ -614,218 +645,251 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     id_f = ids3.reshape(B, H)
     dt_f = dts3.reshape(B, H)
     v_f = hv3.reshape(B, H)
-    qt_f = jnp.broadcast_to(qtimes[:, :, None],
-                            (B, Q, tcfg.depth)).reshape(B, H)
-    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, H))
-
-    (cand_ids, cand_raw, cand_valid, rank_f) = _select_candidates(
-        id_f, v_f, bidx, hashesperid, mcfg)
+    iota_h = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None], (B, H))
 
     dtbin_f = jnp.clip(dt_f + mcfg.qt_cap, 0, nbins - 1)
-    # one combined (rank, bin) key; invalid hits (rank SD) sort last
-    k_s = jax.lax.sort(rank_f * nbins + dtbin_f)
-    iota_h = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None], (B, H))
-    runs = _Runs.of(k_s)
-    first = iota_h == runs.start
-    c_run = (runs.end - runs.start).astype(jnp.int32)
+    idk = jnp.where(v_f, jnp.minimum(id_f, N - 1), N)   # invalid sorts last
 
-    # compaction: run starts carry distinct ascending keys, so one
-    # 2-operand sort moves (key, count) of every run to the front of the
-    # row in key order; non-starts become inert sentinel entries
-    SENT = (SD + 1) * nbins
-    ks_c, cnt_c = jax.lax.sort(
-        (jnp.where(first, k_s, SENT), jnp.where(first, c_run, 0)),
-        num_keys=1)
-    rk_c = ks_c // nbins                      # SD+1 on the sentinel tail
-    db_c = ks_c % nbins
-    val_c = rk_c < SD
-    rk_g = jnp.minimum(rk_c, SD)              # safe gather index
+    # F1: all hits sorted by (id, bin); qtime rides along only when the
+    # time-range path will need it
+    if mcfg.find_time_range:
+        qt_clip = jnp.clip(
+            jnp.broadcast_to(qtimes[:, :, None],
+                             (B, Q, tcfg.depth)).reshape(B, H),
+            0, mcfg.qt_cap - 1)
+        s_id, s_db, s_qt = jax.lax.sort((idk, dtbin_f, qt_clip), num_keys=2)
+    else:
+        s_id, s_db = jax.lax.sort((idk, dtbin_f), num_keys=2)
 
-    # per-run dtmin of its candidate: bins ascend within a rank segment,
-    # so dtmin = db at the segment's first run, propagated by cummax
-    rfirst = jnp.concatenate(
-        [jnp.ones((B, 1), bool), rk_c[:, 1:] != rk_c[:, :-1]], axis=1)
-    start_idx = jax.lax.cummax(jnp.where(rfirst, iota_h, 0), axis=1)
-    dtmin_c = jnp.take_along_axis(db_c, start_idx, axis=1)
+    # --- candidate selection on the id-run starts (same keys and tie
+    # rule as _select_candidates_hits; bit-identical outputs) ---
+    idruns = _Runs.of(s_id)
+    c_h = (idruns.end - idruns.start).astype(jnp.int32)  # raw count per hit
+    id_first = iota_h == idruns.start
+    hpi = jnp.maximum(1, hashesperid).astype(jnp.float32)
+    wc = c_h.astype(jnp.float32) / hpi[jnp.minimum(s_id, N - 1)]
+    inf = jnp.float32(jnp.inf)
+    k1 = jnp.where(id_first & (s_id < N), -wc, inf)
+    k1s, negid_s, pos_s = jax.lax.sort((k1, -s_id, iota_h), num_keys=2)
+    S = min(SD, H)
+    pad = ((0, 0), (0, SD - S))
+    cand_valid = jnp.pad(k1s[:, :S] < inf, pad)
+    cand_ids = jnp.where(cand_valid, jnp.pad(-negid_s[:, :S], pad), N - 1)
+    cand_start = jnp.where(cand_valid, jnp.pad(pos_s[:, :S], pad), 0)
+    cand_raw = jnp.where(
+        cand_valid, jnp.take_along_axis(c_h, cand_start, axis=1), 0)
+    cand_last = jnp.maximum(cand_start + cand_raw - 1, 0)
+
+    # --- compact (id, bin) runs to the row front.  Run starts keep their
+    # (ascending) positions as 1-key sort keys, everything else gets a
+    # distinct past-the-end key — measured on-chip, a 4-operand 1-key
+    # (B, H) sort is ~free while a (B, H, 3) scatter-set costs ~63 ms at
+    # config-5 shapes (benchmarks/tail_probe.py); TPU scatters issue
+    # element-at-a-time, sorts stream on the VPU. ---
+    run_first = jnp.concatenate(
+        [jnp.ones((B, 1), bool),
+         (s_id[:, 1:] != s_id[:, :-1]) | (s_db[:, 1:] != s_db[:, :-1])],
+        axis=1)
+    rruns = _Runs.from_first(run_first)
+    c_run = (rruns.end - rruns.start).astype(jnp.int32)
+    run_idx = jnp.cumsum(run_first.astype(jnp.int32), axis=1) - 1
+    FILL_ID = N + 1
+    keep_r = run_first & (s_id < N)
+    _ck, cid_c, db_c, cnt_c = jax.lax.sort(
+        (jnp.where(keep_r, iota_h, H + iota_h),
+         jnp.where(keep_r, s_id, FILL_ID),
+         jnp.where(keep_r, s_db, -(1 << 28)),
+         jnp.where(keep_r, c_run, 0)), num_keys=1)
+    val_c = cid_c < N
+
+    # id-segment structure on the compacted row.  Per-position segment
+    # values come from segmented copy scans, never (B, H) gathers (each
+    # take_along_axis at this shape measured ~14 ms — same probe).
+    seg_first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), cid_c[:, 1:] != cid_c[:, :-1]], axis=1)
+    seg_last = jnp.concatenate(
+        [seg_first[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    (dtmin_c,) = _seg_spread(seg_first, db_c)
+    # compacted index of each candidate's LAST run = run_idx at its last
+    # hit — the read point for every per-segment reduction below
+    cend_c = jnp.take_along_axis(run_idx, cand_last, axis=1)
 
     # static shifted neighbor views (shared by every windowed quantity)
     _offsets = range(-2 * W, W + 1) if not mcfg.exact_count \
         else range(-W, W + 1)
-    _nb = {o: (_shifted(rk_c, o, SD + 1), _shifted(db_c, o, -nbins),
+    _nb = {o: (_shifted(cid_c, o, -1), _shifted(db_c, o, -(1 << 28)),
                _shifted(cnt_c, o, 0)) for o in _offsets if o != 0}
 
-    def window_sum(center):
-        """Σ run counts with same rank and |bin - center| <= W, per run.
-        `center` ∈ [db - 2W_left, db + W_right] per the offset range."""
-        s = jnp.where((db_c >= center - W) & (db_c <= center + W),
-                      cnt_c, 0)
-        for o, (rk_o, db_o, cn_o) in _nb.items():
-            m = (rk_o == rk_c) & (db_o >= center - W) & (db_o <= center + W)
-            s = s + jnp.where(m, cn_o, 0)
-        return s
+    def seg_best(score, pos, valid):
+        """Segmented running lexicographic max of (score, then min pos):
+        value at a segment's end = the segment's best.  Pure VPU scan —
+        no scatter, no packing range limits."""
+        sc = jnp.where(valid, score, jnp.int32(-(1 << 30)))
+        ps = jnp.where(valid, pos, _I32MAX)
 
-    # Per-candidate (max score, then min pos among maxima) reductions.
-    # A scatter formulation would issue (B, H) updates into (B, SD+1)
-    # slots — extreme index conflicts, which TPU scatter serializes on.
-    # Rank segments are contiguous on the compacted row: a segmented
-    # running max (associative_scan with boundary resets) + one gather at
-    # each segment's end computes the same reduction scatter-free.  The
-    # (score, pos) pair packs into one int32 key when score < 2^16 and
-    # pos < 2^15 (score·2^15 + (2^15−1−pos): max key ⇔ max score then min
-    # pos) — guaranteed for ordinary shapes (score ≤ H hits, pos < nbins);
-    # otherwise fall back to the scatter form.
-    _PACK_OK = H < (1 << 16) and nbins <= (1 << 15)
-    if _PACK_OK:
-        # segment-end position per rank (shared by every reduction):
-        # end(r) = (#runs with rank <= r) - 1, via one searchsorted
-        ranks_q = jnp.broadcast_to(
-            jnp.arange(SD + 1, dtype=jnp.int32)[None], (B, SD + 1))
-        seg_end = _vss(rk_c, ranks_q, "right") - 1
-        seg_ok = (seg_end >= 0) & (jnp.take_along_axis(
-            rk_c, jnp.maximum(seg_end, 0), axis=1) == ranks_q)
+        def comb(x, y):
+            f1, s1, p1 = x
+            f2, s2, p2 = y
+            take = f2 | (s2 > s1) | ((s2 == s1) & (p2 < p1))
+            return (f1 | f2, jnp.where(take, s2, s1),
+                    jnp.where(take, p2, p1))
 
-        def _seg_combine(x, y):
-            f1, v1 = x
-            f2, v2 = y
-            return f2 | f1, jnp.where(f2, v2, jnp.maximum(v1, v2))
+        _f, bs, bp = jax.lax.associative_scan(
+            comb, (seg_first, sc, ps), axis=1)
+        return bs, bp
 
-    def per_rank_best(score, pos, valid):
-        """Per candidate: max score, then min pos among the maxima.
-        Returns (best_score (B, SD+1), best_pos (B, SD+1))."""
-        if _PACK_OK:
-            key = jnp.where(valid,
-                            score * (1 << 15) + ((1 << 15) - 1 - pos), -1)
-            _f, run = jax.lax.associative_scan(
-                _seg_combine, (rfirst, key), axis=1)
-            kend = jnp.where(seg_ok, jnp.take_along_axis(
-                run, jnp.maximum(seg_end, 0), axis=1), -1)
-            best = jnp.where(kend >= 0, kend >> 15, -1)
-            bpos = jnp.where(kend >= 0,
-                             (1 << 15) - 1 - (kend & ((1 << 15) - 1)),
-                             _I32MAX)
-            return best, bpos
-        s_safe = jnp.where(valid, score, -1)
-        best2 = jnp.full((B, SD + 2), -1, jnp.int32).at[
-            bidx, rk_g].max(jnp.where(val_c | ~valid, s_safe, -1))
-        best = best2[:, : SD + 1]
-        is_best = valid & (s_safe == best2[bidx, rk_g])
-        bpos = jnp.full((B, SD + 2), _I32MAX, jnp.int32).at[
-            bidx, rk_g].min(jnp.where(is_best, pos, _I32MAX))[:, : SD + 1]
-        return best, bpos
+    def seg_final(*vals):
+        """Broadcast each segment's LAST value to every position of the
+        segment (reverse copy scan — replaces a (B, H) gather)."""
+        rf = jnp.flip(seg_last, 1)
+        out = _seg_spread(rf, *[jnp.flip(v, 1) for v in vals])
+        return tuple(jnp.flip(o, 1) for o in out)
+
+    def at_cands(a, fill):
+        return jnp.where(cand_valid,
+                         jnp.take_along_axis(a, cend_c, axis=1), fill)
 
     if not mcfg.exact_count:
         # approx: evaluate the smear at every event point p = max(dtmin,
-        # d - W); winner per candidate = (max count, then smallest p).
-        # p ∈ [d - W, d], so runs in [p - W, p + W] lie within 2W
-        # positions left / W right of the run — covered by _offsets
+        # d - W); winner per id = (max count, then smallest p).  p ∈
+        # [d - W, d], so runs in [p - W, p + W] lie within 2W positions
+        # left / W right of the run — covered by _offsets
         p_c = jnp.maximum(dtmin_c, db_c - W)
-        s_c = window_sum(p_c)
-        best, bpos = per_rank_best(s_c, p_c, val_c)
-        filt = best[:, :SD, None]
-        mode_bin = bpos[:, :SD, None]
+        s_c = cnt_c                               # own run always in range
+        for o, (cid_o, db_o, cn_o) in _nb.items():
+            m = ((cid_o == cid_c) & (db_o >= p_c - W) & (db_o <= p_c + W))
+            s_c = s_c + jnp.where(m, cn_o, 0)
+        bs, bp = seg_best(s_c, p_c, val_c)
+        filt = at_cands(bs, -1)[:, :, None]
+        mode_bin = at_cands(bp, 0)[:, :, None]
         mode_ok = jnp.ones((B, SD, 1), bool)
     else:
-        # a run is a mode candidate iff count >= every same-rank neighbor
+        # a run is a mode candidate iff count >= every same-id neighbor
         # run count within ±W bins (at most W distinct bins per side =
         # at most W positions per side on the compacted row)
         nb_max = jnp.zeros((B, H), jnp.int32)
         c_cov = cnt_c
-        for o, (rk_o, db_o, cn_o) in _nb.items():
-            m = (rk_o == rk_c) & (jnp.abs(db_o - db_c) <= W)
+        for o, (cid_o, db_o, cn_o) in _nb.items():
+            m = (cid_o == cid_c) & (jnp.abs(db_o - db_c) <= W)
             nb_max = jnp.maximum(nb_max, jnp.where(m, cn_o, 0))
             c_cov = c_cov + jnp.where(m, cn_o, 0)
         ismode = (val_c & (cnt_c >= max(1, mcfg.threshcount))
                   & (cnt_c >= nb_max))
 
-        # U(d) = C(d) - D(d) at each mode candidate (see docstring):
-        # C = windowed hit count at d (c_cov above); D = #consecutive
-        # same-(query-row, candidate) pairs from the per-row sort (a query
-        # hash's hits are contiguous rows of the (B, Q, depth) layout)
-        # whose ±W windows both cover d
-        rank3 = rank_f.reshape(B, Q, tcfg.depth)
-        dtbin3 = dtbin_f.reshape(B, Q, tcfg.depth)
-        r3s, d3s = jax.lax.sort((rank3, dtbin3), num_keys=2)
-        pair_ok = ((r3s[..., :-1] == r3s[..., 1:])
-                   & (r3s[..., 1:] < SD)
+        # D via ONE merged event/run sort (see docstring).  Pairs come
+        # from a per-query-row (id, bin) sort along the depth axis (a
+        # query hash's hits are contiguous rows of the (B, Q, depth)
+        # layout), exactly the oracle's consecutive-hit structure.
+        id3 = idk.reshape(B, Q, tcfg.depth)
+        d3 = dtbin_f.reshape(B, Q, tcfg.depth)
+        i3s, d3s = jax.lax.sort((id3, d3), num_keys=2)
+        pair_ok = ((i3s[..., :-1] == i3s[..., 1:])
+                   & (i3s[..., 1:] < N)
                    & (d3s[..., 1:] - d3s[..., :-1] <= 2 * W))
         NP = Q * (tcfg.depth - 1)
-        span = nbins + 2 * W + 2
-        pr = jnp.where(pair_ok, r3s[..., 1:], SD).reshape(B, NP)
-        # intersection interval in bin space, +W offset so starts >= 0
-        pstart = (pr * span
-                  + jnp.where(pair_ok, d3s[..., 1:] - W,
-                              0).reshape(B, NP) + W)
-        pend = (pr * span
-                + jnp.where(pair_ok, d3s[..., :-1] + W,
-                            0).reshape(B, NP) + W)
-        ps_sorted = jax.lax.sort(pstart)
-        pe_sorted = jax.lax.sort(pend)
-        mq = rk_g * span + db_c + W
-        d_cov = (_vss(ps_sorted, mq, "right")
-                 - _vss(pe_sorted, mq - 1, "right")).astype(jnp.int32)
+        pid = jnp.where(pair_ok, i3s[..., 1:], N).reshape(B, NP)
+        dlo = d3s[..., :-1].reshape(B, NP)
+        dhi = d3s[..., 1:].reshape(B, NP)
+        wplus = pair_ok.reshape(B, NP).astype(jnp.int32)
+        M = 2 * NP + H
+        ids_m = jnp.concatenate([pid, pid, cid_c], axis=1)
+        bins_m = jnp.concatenate([dhi - W, dlo + W + 1, db_c], axis=1)
+        tag_m = jnp.concatenate(
+            [jnp.zeros((B, 2 * NP), jnp.int8), jnp.ones((B, H), jnp.int8)],
+            axis=1)
+        w_m = jnp.concatenate(
+            [wplus, -wplus, jnp.zeros((B, H), jnp.int32)], axis=1)
+        pos_m = jnp.concatenate(
+            [jnp.broadcast_to(
+                jnp.arange(2 * NP, dtype=jnp.int32)[None] + H, (B, 2 * NP)),
+             jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None], (B, H))],
+            axis=1)
+        _im, _bm, _tm, w_s, pos_srt = jax.lax.sort(
+            (ids_m, bins_m, tag_m, w_m, pos_m), num_keys=3)
+        csum = jnp.cumsum(w_s, axis=1)
+        # read the prefix sums back at the run positions with one more
+        # 1-key sort (runs carry pos < H, events H + i): the first H
+        # sorted slots are exactly the runs in compacted order — a
+        # (B, M) scatter would cost ~3x the whole vote tail (tail_probe)
+        _pp, d_sorted = jax.lax.sort((pos_srt, csum), num_keys=1)
+        d_cov = d_sorted[:, :H]
         u_c = c_cov - d_cov
 
         mode_bins, mode_oks, mode_filts = [], [], []
         if mcfg.sort_by_time:
-            # earliest valid modes, mirroring match_core (see comment there)
+            # earliest valid modes, mirroring match_core (see comment
+            # there): time-sorted output truncates to the EARLIEST rows
             avail = ismode & (u_c >= mcfg.threshcount)
             for _s in range(Mc):
                 tscore = jnp.where(avail, nbins - 1 - db_c, -1)
-                best, bpos = per_rank_best(tscore, db_c, avail)
-                chosen = avail & (db_c == bpos[bidx, rk_g])
-                # the chosen run is unique per rank — the same segmented
-                # reduction recovers its U value scatter-free
-                uval, _ = per_rank_best(u_c, db_c, chosen)
-                mode_bins.append(bpos[:, :SD])
-                mode_oks.append(best[:, :SD] >= 0)
-                mode_filts.append(uval[:, :SD])
+                bs, bp = seg_best(tscore, db_c, avail)
+                (bp_full,) = seg_final(bp)
+                chosen = avail & (db_c == bp_full)
+                # the chosen run is unique per segment — one more scan
+                # recovers its U value scatter-free
+                us, _up = seg_best(jnp.where(chosen, u_c, -1), db_c, chosen)
+                mode_bins.append(at_cands(bp, 0))
+                mode_oks.append(at_cands(bs, -1) >= 0)
+                mode_filts.append(at_cands(us, -1))
                 avail = avail & ~chosen
         else:
             score = jnp.where(ismode, u_c, -1)
             for _s in range(Mc):
-                best, bpos = per_rank_best(score, db_c, score >= 0)
-                mode_bins.append(bpos[:, :SD])
-                mode_oks.append(best[:, :SD] > 0)
-                mode_filts.append(best[:, :SD])
-                chosen = (score >= 0) & (score == best[bidx, rk_g]) \
-                    & (db_c == bpos[bidx, rk_g])
+                bs, bp = seg_best(score, db_c, score >= 0)
+                mode_bins.append(at_cands(bp, 0))
+                bv = at_cands(bs, -1)
+                mode_oks.append(bv > 0)
+                mode_filts.append(bv)
+                bs_full, bp_full = seg_final(bs, bp)
+                chosen = ((score >= 0) & (score == bs_full)
+                          & (db_c == bp_full))
                 score = jnp.where(chosen, -1, score)
         mode_bin = jnp.stack(mode_bins, axis=-1)
         mode_ok = jnp.stack(mode_oks, axis=-1)
         filt = jnp.stack(mode_filts, axis=-1)
 
-    # optional time range per (candidate, mode slot): quantiles of aligned
-    # query times via one sort per slot (no (B, SD, qt_cap) scatter)
+    # optional time range per (candidate, mode slot): ONE (id, qtime)
+    # 2-key re-sort of the F1 row per slot puts each id segment's ALIGNED
+    # qtimes ascending at the segment front, so the quantile elements are
+    # direct gathers at cand_start + k — no per-rank keys, no searchsorted
     if mcfg.find_time_range:
+        ranks_sd = jnp.arange(SD, dtype=jnp.int32)
+        s_valid = s_id < N
+        QBIG = jnp.int32(1 << 29)
+        MBFILL = jnp.int32(-(1 << 28))      # never within W of a real bin
+        id_first_f1 = jnp.concatenate(
+            [jnp.ones((B, 1), bool), s_id[:, 1:] != s_id[:, :-1]], axis=1)
         min_ts, max_ts = [], []
-        qspan = mcfg.qt_cap + 1
-        ranks_sd = jnp.broadcast_to(
-            jnp.arange(SD, dtype=jnp.int32)[None, :], (B, SD))
         for s in range(Mc):
-            mb_s = mode_bin[:, :, s]
-            aligned = (v_f & (rank_f < SD)
-                       & (jnp.abs(dtbin_f - mb_s[
-                           bidx, jnp.minimum(rank_f, SD - 1)]) <= W))
-            qkey = jnp.where(
-                aligned, rank_f * qspan + jnp.clip(qt_f, 0, mcfg.qt_cap - 1),
-                (SD + 1) * qspan)
-            qk_sorted = jax.lax.sort(qkey)
-            lo = _vss(qk_sorted, ranks_sd * qspan, "left")
-            hi = _vss(qk_sorted, ranks_sd * qspan + qspan - 1, "right")
-            nq = (hi - lo).astype(jnp.int32)
+            # per-hit mode bin of its own candidate: seed the SD segment
+            # starts (a small unique scatter), spread by segment —
+            # non-candidate segments keep MBFILL and never align
+            mb_seed = jnp.full((B, H), MBFILL, jnp.int32).at[
+                jnp.arange(B)[:, None],
+                jnp.where(cand_valid, cand_start, H + ranks_sd[None])].set(
+                mode_bin[:, :, s], mode="drop", unique_indices=True)
+            (mb_h,) = _seg_spread(id_first_f1, mb_seed)
+            aligned = s_valid & (jnp.abs(s_db - mb_h) <= W)
+            _ids2, q_sorted = jax.lax.sort(
+                (s_id, jnp.where(aligned, s_qt, QBIG)), num_keys=2)
+            ca = jnp.cumsum(aligned.astype(jnp.int32), axis=1)
+            hi = jnp.take_along_axis(ca, cand_last, axis=1)
+            lo = jnp.where(
+                cand_start > 0,
+                jnp.take_along_axis(ca, jnp.maximum(cand_start - 1, 0),
+                                    axis=1), 0)
+            nq = jnp.where(cand_valid, hi - lo, 0)
             k0 = (mcfg.time_quantile
                   * nq.astype(jnp.float32)).astype(jnp.int32)
             k1 = jnp.maximum(
                 0, ((1.0 - mcfg.time_quantile) * nq.astype(jnp.float32))
                 .astype(jnp.int32) - 1)
             gmin = jnp.take_along_axis(
-                qk_sorted, jnp.minimum(lo + k0, H - 1), axis=1)
+                q_sorted, jnp.minimum(cand_start + k0, H - 1), axis=1)
             gmax = jnp.take_along_axis(
-                qk_sorted, jnp.minimum(lo + k1, H - 1), axis=1)
-            min_ts.append(jnp.where(nq > 0, gmin - ranks_sd * qspan,
-                                    0).astype(jnp.int32))
-            max_ts.append(jnp.where(nq > 0, gmax - ranks_sd * qspan,
-                                    0).astype(jnp.int32))
+                q_sorted, jnp.minimum(cand_start + k1, H - 1), axis=1)
+            min_ts.append(jnp.where(nq > 0, gmin, 0).astype(jnp.int32))
+            max_ts.append(jnp.where(nq > 0, gmax, 0).astype(jnp.int32))
         min_t = jnp.stack(min_ts, axis=-1)
         max_t = jnp.stack(max_ts, axis=-1)
     else:

@@ -88,38 +88,44 @@ def main():
         return (jnp.sum(ids3 & 1023) + jnp.sum(dts3 & 1023)).astype(
             jnp.float32)
 
+    # p2/p3 mirror the round-4 FUSED core's prefix: F1 (id, bin) 2-key
+    # sort, then the F2 selection sort over the id-run starts
     @jax.jit
-    def p2_select(table, counts, hpi, qt, qh, qv):
-        ids3, dts3, hv3 = DT.get_hits_local(table, counts, qt, qh, qv,
-                                            tcfg, 0)
-        id_f = ids3.reshape(B, H)
-        v_f = hv3.reshape(B, H)
-        cand_ids, cand_raw, cand_valid, rank_f = voting._select_candidates(
-            id_f, v_f, bidx, hpi, mcfg)
-        return (jnp.sum(cand_ids & 1023) + jnp.sum(rank_f)).astype(
-            jnp.float32)
-
-    @jax.jit
-    def p3_compact(table, counts, hpi, qt, qh, qv):
+    def p2_f1sort(table, counts, hpi, qt, qh, qv):
         ids3, dts3, hv3 = DT.get_hits_local(table, counts, qt, qh, qv,
                                             tcfg, 0)
         id_f = ids3.reshape(B, H)
         dt_f = dts3.reshape(B, H)
         v_f = hv3.reshape(B, H)
-        cand_ids, cand_raw, cand_valid, rank_f = voting._select_candidates(
-            id_f, v_f, bidx, hpi, mcfg)
+        N = mcfg.n_ids_cap
         dtbin_f = jnp.clip(dt_f + mcfg.qt_cap, 0, nbins - 1)
-        k_s = jax.lax.sort(rank_f * nbins + dtbin_f)
+        idk = jnp.where(v_f, jnp.minimum(id_f, N - 1), N)
+        s_id, s_db = jax.lax.sort((idk, dtbin_f), num_keys=2)
+        return (jnp.sum(s_id & 1023) + jnp.sum(s_db & 1023)).astype(
+            jnp.float32)
+
+    @jax.jit
+    def p3_select(table, counts, hpi, qt, qh, qv):
+        ids3, dts3, hv3 = DT.get_hits_local(table, counts, qt, qh, qv,
+                                            tcfg, 0)
+        id_f = ids3.reshape(B, H)
+        dt_f = dts3.reshape(B, H)
+        v_f = hv3.reshape(B, H)
+        N = mcfg.n_ids_cap
+        dtbin_f = jnp.clip(dt_f + mcfg.qt_cap, 0, nbins - 1)
+        idk = jnp.where(v_f, jnp.minimum(id_f, N - 1), N)
+        s_id, s_db = jax.lax.sort((idk, dtbin_f), num_keys=2)
         iota_h = jnp.broadcast_to(
             jnp.arange(H, dtype=jnp.int32)[None], (B, H))
-        runs = voting._Runs.of(k_s)
-        first = iota_h == runs.start
-        c_run = (runs.end - runs.start).astype(jnp.int32)
-        SENT = (SD + 1) * nbins
-        ks_c, cnt_c = jax.lax.sort(
-            (jnp.where(first, k_s, SENT), jnp.where(first, c_run, 0)),
-            num_keys=1)
-        return (jnp.sum(ks_c & 1023) + jnp.sum(cnt_c)).astype(jnp.float32)
+        idruns = voting._Runs.of(s_id)
+        c_h = (idruns.end - idruns.start).astype(jnp.int32)
+        id_first = iota_h == idruns.start
+        hpi_f = jnp.maximum(1, hpi).astype(jnp.float32)
+        wc = c_h.astype(jnp.float32) / hpi_f[jnp.minimum(s_id, N - 1)]
+        k1 = jnp.where(id_first & (s_id < N), -wc, jnp.float32(jnp.inf))
+        k1s, negid_s, pos_s = jax.lax.sort((k1, -s_id, iota_h), num_keys=2)
+        return (jnp.sum(-negid_s[:, :SD] & 1023)
+                + jnp.sum(pos_s[:, :SD])).astype(jnp.float32)
 
     @jax.jit
     def p4_full(table, counts, hpi, qt, qh, qv):
@@ -134,7 +140,7 @@ def main():
         return jnp.sum(out).astype(jnp.float32)
 
     probes = [("null(dispatch)", p0_null), ("hits-gather", p1_hits),
-              ("+selection", p2_select), ("+sort+compact", p3_compact),
+              ("+f1-sort", p2_f1sort), ("+selection", p3_select),
               ("full-rle", p4_full), ("full-hist", p5_hist)]
     st = staged(args.iters + 1)
     prev = 0.0
