@@ -244,6 +244,47 @@ def get_hits(table: jax.Array, counts: jax.Array,
     return get_hits_local(table, counts, qtimes, qhashes, qvalid, cfg, 0)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_hpi_plane(table: jax.Array, hpi: jax.Array,
+                    cfg: TableConfig) -> jax.Array:
+    """Per-entry hashesperid plane aligned with the table: plane[b, s] =
+    hpi[id of table[b, s]] (int32).
+
+    Rationale (round 4, measured): voting ranks candidates by
+    raw_count / hashesperid (upstream _best_count_ids), and the per-hit
+    hpi[id] word-gather — (B, H) random 4-byte loads — was ~10 ms of a
+    ~27 ms device-side config-5 match batch (benchmarks/topk_probe.py
+    --stages: runs +0, gather +10, sort +2).  TPU word-gathers issue
+    element-at-a-time, while the table's own row-gather (contiguous
+    depth-row per query hash) measured ~2 ms for the same hit count.
+    Baking hpi per ENTRY turns the word-gather into one more row-gather:
+    the plane is built ONCE per staged table revision (the gather over
+    all nb*depth entries runs at staging time, amortized over every
+    subsequent query batch) and rides the F1 sort as a payload operand.
+
+    A track's hpi never changes after its hashes are stored, so the
+    plane stays valid until the table itself changes (same cache key)."""
+    if cfg.wide:
+        ids = ((table[..., 0] >> cfg.maxtimebits)
+               | (table[..., 1] << (32 - cfg.maxtimebits))).astype(jnp.int32)
+    else:
+        ids = (table >> cfg.maxtimebits).astype(jnp.int32)
+    # empty slots decode to id 0; their plane value is never read (hvalid
+    # masks them), clamp only to stay in bounds
+    return hpi[jnp.clip(ids, 0, hpi.shape[0] - 1)]
+
+
+def gather_plane(plane: jax.Array, qhashes: jax.Array, cfg: TableConfig,
+                 bucket_lo: jax.Array | int = 0) -> jax.Array:
+    """Row-gather an auxiliary per-entry plane with get_hits_local's own
+    bucket indexing -> (B, Q, depth), slot-aligned with its hit arrays."""
+    n_local = plane.shape[0]
+    hashmask = (1 << cfg.hashbits) - 1
+    qh = (qhashes & hashmask) - jnp.asarray(bucket_lo, jnp.int32)
+    qh = jnp.clip(qh, 0, n_local - 1)
+    return plane[qh]
+
+
 def config_for(ht) -> TableConfig:
     return TableConfig(hashbits=ht.hashbits, depth=ht.depth,
                       maxtimebits=ht.maxtimebits, seed=ht.seed,

@@ -127,13 +127,30 @@ class Matcher:
                 table, counts, tcfg = sharded.upload_sharded(ht, mesh)
                 hpi_dev = jax.device_put(
                     hpi, NamedSharding(mesh, PS()))
+                plane = None
             else:
                 mesh = None
                 table, counts, tcfg = DT.table_to_device(ht)
                 hpi_dev = jax.device_put(hpi)
+                plane = self._maybe_hpi_plane(table, hpi_dev, tcfg)
             self._dev = (weakref.ref(ht), (rev, ndev), table, counts,
-                         hpi_dev, tcfg, ncap, mesh)
+                         hpi_dev, tcfg, ncap, mesh, plane)
         return self._dev[2:]
+
+    # Per-entry hashesperid plane for the sorted core's candidate ranking
+    # (DT.build_hpi_plane): trades one table-sized int32 buffer + a one-
+    # time staging gather for removing the per-batch (B, H) word-gather
+    # that measured ~10 ms of a ~27 ms device-side config-5 batch.
+    # None = auto (build when the plane fits comfortably inside the
+    # voting memory budget); True/False forces.
+    use_hpi_plane: bool | None = None
+
+    def _maybe_hpi_plane(self, table, hpi_dev, tcfg):
+        use = self.use_hpi_plane
+        if use is None:
+            plane_bytes = 4 * tcfg.n_buckets * tcfg.depth
+            use = plane_bytes <= self._budget_bytes() // 2
+        return DT.build_hpi_plane(table, hpi_dev, tcfg) if use else None
 
     def invalidate(self):
         self._dev = None
@@ -213,7 +230,8 @@ class Matcher:
         return self.match_hashes_batch(ht, [np.asarray(hashes)])[0]
 
     def match_hashes_batch(self, ht, hash_lists) -> list:
-        table, counts, hpi, tcfg, ncap, mesh = self._device_state(ht)
+        (table, counts, hpi, tcfg, ncap, mesh,
+         hpi_plane) = self._device_state(ht)
         B = len(hash_lists)
         maxn = max([1] + [len(h) for h in hash_lists])
         # pow2 padding so typical query sizes share few compiled graphs
@@ -249,6 +267,7 @@ class Matcher:
                 import jax
                 table, counts, tcfg = DT.table_to_device(ht)
                 hpi = jax.device_put(np.asarray(hpi))
+                hpi_plane = self._maybe_hpi_plane(table, hpi, tcfg)
                 mesh = None
                 core = "sorted"
         if core == "hist" and mesh is None:
@@ -277,13 +296,15 @@ class Matcher:
             pad = bsub - len(chunk)
             chunk = list(chunk) + [np.zeros((0, 2), np.int32)] * pad
             rows = self._match_padded(table, counts, hpi, tcfg, ncap,
-                                      chunk, Q, qt_cap, core, mesh)
+                                      chunk, Q, qt_cap, core, mesh,
+                                      hpi_plane)
             results.extend(rows[: len(rows) - pad] if pad else rows)
         return results
 
     def _match_padded(self, table, counts, hpi, tcfg, ncap,
                       hash_lists, Q: int, qt_cap: int,
-                      core: str = "hist", mesh=None) -> list:
+                      core: str = "hist", mesh=None,
+                      hpi_plane=None) -> list:
         B = len(hash_lists)
         tt = np.zeros((B, Q), np.int32)
         hh = np.zeros((B, Q), np.int32)
@@ -301,7 +322,7 @@ class Matcher:
             time_quantile=self.time_quantile,
             sort_by_time=self.sort_by_time,
             qt_cap=qt_cap, n_ids_cap=ncap,
-            modes_cap=max(4, self.max_returns))
+            modes_cap=max(1, self.max_returns))
         import jax.numpy as jnp
         # single packed output buffer = single D2H fetch (the per-array
         # fetches of the dict form dominated per-batch latency through the
@@ -314,7 +335,8 @@ class Matcher:
         else:
             out = np.asarray(voting.match_batch_packed(
                 table, counts, hpi, jnp.asarray(tt), jnp.asarray(hh),
-                jnp.asarray(vv), tcfg, mcfg, core))
+                jnp.asarray(vv), tcfg, mcfg, core,
+                hpi_plane if core == "sorted" else None))
         results = []
         for b in range(B):
             n = int(out[b, :, 6].sum())   # n_results == rvalid.sum()

@@ -72,10 +72,15 @@ class MatchConfig(NamedTuple):
                    time_quantile=mp.time_quantile,
                    sort_by_time=mp.sort_by_time,
                    qt_cap=qt_cap, n_ids_cap=n_ids_cap,
-                   # oracle parity requires modes_cap >= max_returns
-                   # (see match_core); derive it so no caller can silently
-                   # under-cap exact-count multi-mode results
-                   modes_cap=max(4, mp.max_returns))
+                   # oracle parity requires exactly modes_cap >= max_returns
+                   # (see match_core: every mode discarded by the per-
+                   # candidate cap is dominated by >= modes_cap kept rows of
+                   # its own candidate under the final global order, so it
+                   # can never place in the top max_returns); deriving the
+                   # minimum keeps the exact-count Mc loop as short as the
+                   # requested output allows (round 4: Mc 4 -> 1 at default
+                   # -x 1 — the loop is a measured chunk of the exact tail)
+                   modes_cap=max(1, mp.max_returns))
 
 
 def _select_candidates_hits(id_f, v_f, bidx, hashesperid,
@@ -573,7 +578,8 @@ def _shifted(a: jax.Array, o: int, fill) -> jax.Array:
 def match_core_sorted(table: jax.Array, counts: jax.Array,
                       hashesperid: jax.Array, qtimes: jax.Array,
                       qhashes: jax.Array, qvalid: jax.Array,
-                      tcfg: DT.TableConfig, mcfg: MatchConfig):
+                      tcfg: DT.TableConfig, mcfg: MatchConfig,
+                      hpi_plane: jax.Array | None = None):
     """Single-device voting: the FUSED compacted run-length (RLE) core.
 
     The hist-based match_core materializes (B, SD, maxtime + qt_cap)
@@ -651,23 +657,39 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     idk = jnp.where(v_f, jnp.minimum(id_f, N - 1), N)   # invalid sorts last
 
     # F1: all hits sorted by (id, bin); qtime rides along only when the
-    # time-range path will need it
+    # time-range path will need it.  When the caller staged a per-entry
+    # hpi plane (DT.build_hpi_plane), each hit's hashesperid rides the
+    # sort as one more payload operand — replacing the (B, H) random
+    # word-gather hpi[s_id] that measured ~10 ms of a ~27 ms device-side
+    # config-5 batch (the single largest op; benchmarks/topk_probe.py
+    # --stages) with a ~2 ms contiguous row-gather + a cheap extra
+    # payload.  Identical values either way (a track's hpi is fixed at
+    # store time), so results stay bit-identical.
+    ops = [idk, dtbin_f]
     if mcfg.find_time_range:
-        qt_clip = jnp.clip(
+        ops.append(jnp.clip(
             jnp.broadcast_to(qtimes[:, :, None],
                              (B, Q, tcfg.depth)).reshape(B, H),
-            0, mcfg.qt_cap - 1)
-        s_id, s_db, s_qt = jax.lax.sort((idk, dtbin_f, qt_clip), num_keys=2)
-    else:
-        s_id, s_db = jax.lax.sort((idk, dtbin_f), num_keys=2)
+            0, mcfg.qt_cap - 1))
+    if hpi_plane is not None:
+        ops.append(DT.gather_plane(hpi_plane, qhashes, tcfg, 0)
+                   .reshape(B, H))
+    srt = jax.lax.sort(tuple(ops), num_keys=2)
+    s_id, s_db = srt[0], srt[1]
+    s_qt = srt[2] if mcfg.find_time_range else None
+    s_hpi = srt[-1] if hpi_plane is not None else None
 
     # --- candidate selection on the id-run starts (same keys and tie
     # rule as _select_candidates_hits; bit-identical outputs) ---
     idruns = _Runs.of(s_id)
     c_h = (idruns.end - idruns.start).astype(jnp.int32)  # raw count per hit
     id_first = iota_h == idruns.start
-    hpi = jnp.maximum(1, hashesperid).astype(jnp.float32)
-    wc = c_h.astype(jnp.float32) / hpi[jnp.minimum(s_id, N - 1)]
+    if s_hpi is not None:
+        hpi_h = jnp.maximum(1, s_hpi).astype(jnp.float32)
+    else:
+        hpi = jnp.maximum(1, hashesperid).astype(jnp.float32)
+        hpi_h = hpi[jnp.minimum(s_id, N - 1)]
+    wc = c_h.astype(jnp.float32) / hpi_h
     inf = jnp.float32(jnp.inf)
     k1 = jnp.where(id_first & (s_id < N), -wc, inf)
     k1s, negid_s, pos_s = jax.lax.sort((k1, -s_id, iota_h), num_keys=2)
@@ -904,16 +926,18 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
 def match_batch_sorted(table: jax.Array, counts: jax.Array,
                        hashesperid: jax.Array, qtimes: jax.Array,
                        qhashes: jax.Array, qvalid: jax.Array,
-                       tcfg: DT.TableConfig, mcfg: MatchConfig):
+                       tcfg: DT.TableConfig, mcfg: MatchConfig,
+                       hpi_plane: jax.Array | None = None):
     """Single-device matching via the compacted-RLE core — O(B*H) memory
     independent of maxtime and query length, and the FAST single-device
     path since the round-4 rewrite (same-session A/B on the v5e chip,
     B=128 approx: 1343 vs 629 q/s at 1k tracks, 1287 vs 1172 at 100k —
     the hist core's scatter-add wall is gone).  Bit-identical to
     match_batch_hist across the full option matrix (test_multimode); the
-    shard_map path keeps the psum-combinable hist core."""
+    shard_map path keeps the psum-combinable hist core.  hpi_plane: see
+    match_core_sorted / DT.build_hpi_plane."""
     return match_core_sorted(table, counts, hashesperid, qtimes, qhashes,
-                             qvalid, tcfg, mcfg)
+                             qvalid, tcfg, mcfg, hpi_plane)
 
 
 @functools.partial(jax.jit, static_argnames=("tcfg", "mcfg"))
@@ -932,7 +956,8 @@ def match_batch_packed(table: jax.Array, counts: jax.Array,
                        hashesperid: jax.Array, qtimes: jax.Array,
                        qhashes: jax.Array, qvalid: jax.Array,
                        tcfg: DT.TableConfig, mcfg: MatchConfig,
-                       core: str = "hist"):
+                       core: str = "hist",
+                       hpi_plane: jax.Array | None = None):
     """Matching with the result dict packed into ONE (B, max_returns, 7)
     int32 array: [id, filtcount, mode_dt, rawcount, min_t, max_t, rvalid].
 
@@ -941,9 +966,12 @@ def match_batch_packed(table: jax.Array, counts: jax.Array,
     a relay each fetch pays a round-trip, and the fetches — not the voting
     — dominated the measured per-batch latency.  n_results is recoverable
     client-side as rvalid.sum() (invalid rows sort last and are zeroed)."""
-    fn = match_core_sorted if core == "sorted" else match_core
-    out = fn(table, counts, hashesperid, qtimes, qhashes, qvalid,
-             tcfg, mcfg)
+    if core == "sorted":
+        out = match_core_sorted(table, counts, hashesperid, qtimes, qhashes,
+                                qvalid, tcfg, mcfg, hpi_plane)
+    else:
+        out = match_core(table, counts, hashesperid, qtimes, qhashes,
+                         qvalid, tcfg, mcfg)
     return jnp.stack(
         [out["ids"], out["filtcount"], out["mode_dt"], out["rawcount"],
          out["min_t"], out["max_t"], out["rvalid"].astype(jnp.int32)],

@@ -256,19 +256,37 @@ def config5(scale, idbits=0):
     ncap = 1 << max(17, (n_tracks - 1).bit_length())
     hpi = np.full(ncap, hpt, np.int32)
     mcfg = voting.MatchConfig(qt_cap=512, n_ids_cap=ncap)
-    match = sharded.sharded_match_fn(mesh, tcfg, mcfg)
-    out = match(table, counts, jnp.asarray(hpi), jnp.asarray(qt),
-                jnp.asarray(qh), jnp.asarray(qv))
-    ids0 = np.asarray(out["ids"])[:, 0]
+    hpi_dev = jnp.asarray(hpi)
+    if ndev == 1:
+        # the product single-device path (what Matcher dispatches since
+        # round 4): compacted-RLE core + per-entry hpi plane + ONE packed
+        # result fetch — measure what a user actually gets on one chip
+        plane = DT.build_hpi_plane(table, hpi_dev, tcfg)
+
+        def run_match(a_qt, a_qh, a_qv):
+            p = np.asarray(voting.match_batch_packed(
+                table, counts, hpi_dev, jnp.asarray(a_qt),
+                jnp.asarray(a_qh), jnp.asarray(a_qv), tcfg, mcfg,
+                "sorted", plane))
+            return {"ids": p[:, :, 0],
+                    "n_results": p[:, :, 6].sum(axis=1)}
+    else:
+        match = sharded.sharded_match_fn(mesh, tcfg, mcfg)
+
+        def run_match(a_qt, a_qh, a_qv):
+            out = match(table, counts, hpi_dev, jnp.asarray(a_qt),
+                        jnp.asarray(a_qh), jnp.asarray(a_qv))
+            return {"ids": np.asarray(out["ids"]),
+                    "n_results": np.asarray(out["n_results"])}
+    out = run_match(qt, qh, qv)
+    ids0 = out["ids"][:, 0]
     # timed reps with distinct inputs (the relay memoizes identical
     # executions) — a single dispatch carries relay jitter, so report the
     # best of 3 (device-rate proxy) and keep all samples
     reps = []
     for r in range(1, 4):
         t0 = time.time()
-        out = match(table, counts, jnp.asarray(hpi), jnp.asarray(qt + r),
-                    jnp.asarray(qh), jnp.asarray(qv))
-        np.asarray(out["ids"])
+        run_match(qt + r, qh, qv)
         reps.append(time.time() - t0)
     q_s = min(reps)
     acc = float((ids0 == np.arange(QB)).mean())
@@ -278,10 +296,10 @@ def config5(scale, idbits=0):
     # (row kept) is the report decision; n_results > 0 <=> "Matched" line.
     oq_t = rng.integers(0, tcfg.maxtime, (QB, Q)).astype(np.int32)
     oq_h = rng.integers(0, 1 << 20, (QB, Q)).astype(np.int32)
-    oo = match(table, counts, jnp.asarray(hpi), jnp.asarray(oq_t),
-               jnp.asarray(oq_h), jnp.asarray(qv))
-    fp = float((np.asarray(oo["n_results"]) > 0).mean())
+    oo = run_match(oq_t, oq_h, qv)
+    fp = float((oo["n_results"] > 0).mean())
     return {"config": 5, "tracks": n_tracks, "devices": ndev,
+            "match_path": ("rle+hpi_plane" if ndev == 1 else "sharded-hist"),
             "idbits": idbits, "wide": bool(tcfg.wide),
             "build_s": round(build_s, 1), "top1_self": acc,
             "queries_per_sec": round(QB / q_s, 1),

@@ -41,8 +41,11 @@ def main():
     depth = 100
     tcfg = DT.TableConfig(hashbits=20, depth=depth, maxtimebits=14, seed=0)
     ncap = 1 << max(12, int(np.ceil(np.log2(max(2, args.tracks)))))
+    # modes_cap=1 mirrors the product derivation (max(1, max_returns) at
+    # default -x 1); the NamedTuple default of 4 predates round 4's
+    # minimal-Mc derivation and would 4x the exact-count mode loop here
     mcfg = voting.MatchConfig(search_depth=SD, qt_cap=2048, n_ids_cap=ncap,
-                              exact_count=args.exact)
+                              exact_count=args.exact, modes_cap=1)
     nbins = tcfg.maxtime + mcfg.qt_cap
     H = Q * depth
 
@@ -133,6 +136,20 @@ def main():
                                         tcfg, mcfg, core="sorted")
         return jnp.sum(out).astype(jnp.float32)
 
+    # plane as a jit ARGUMENT (closure constants 413 through the relay)
+    plane = DT.build_hpi_plane(table, hpi, tcfg)
+    np.asarray(plane[0, :1])
+
+    @jax.jit
+    def _p4b(table, counts, hpi, pl, qt, qh, qv):
+        out = voting.match_batch_packed(table, counts, hpi, qt, qh, qv,
+                                        tcfg, mcfg, core="sorted",
+                                        hpi_plane=pl)
+        return jnp.sum(out).astype(jnp.float32)
+
+    def p4b_plane(table, counts, hpi, qt, qh, qv):
+        return _p4b(table, counts, hpi, plane, qt, qh, qv)
+
     @jax.jit
     def p5_hist(table, counts, hpi, qt, qh, qv):
         out = voting.match_batch_packed(table, counts, hpi, qt, qh, qv,
@@ -141,7 +158,8 @@ def main():
 
     probes = [("null(dispatch)", p0_null), ("hits-gather", p1_hits),
               ("+f1-sort", p2_f1sort), ("+selection", p3_select),
-              ("full-rle", p4_full), ("full-hist", p5_hist)]
+              ("full-rle", p4_full), ("full-rle+plane", p4b_plane),
+              ("full-hist", p5_hist)]
     st = staged(args.iters + 1)
     prev = 0.0
     for name, fn in probes:

@@ -343,3 +343,54 @@ def test_sorted_core_equals_hist_core(seed):
                             np.asarray(a[k]), np.asarray(b[k]),
                             err_msg=f"{k} exact={exact} tr={timerange} "
                                     f"sbt={sbt} W={W} seed={seed}")
+
+
+@pytest.mark.parametrize("idbits", [0, 20])
+def test_hpi_plane_path_bit_identical(idbits):
+    """The per-entry hashesperid plane (DT.build_hpi_plane — the round-4
+    replacement for the per-hit hpi word-gather) must leave the sorted
+    core bit-identical, for packed AND wide entry layouts, across the
+    option matrix.  Tracks get DISTINCT hash counts so a wrong per-hit
+    hpi would reorder candidates."""
+    tcfg = DT.TableConfig(hashbits=12, depth=8, maxtimebits=10, seed=0,
+                          idbits=idbits)
+    ht = HashTable(hashbits=tcfg.hashbits, depth=tcfg.depth,
+                   maxtime=tcfg.maxtime, seed=tcfg.seed, idbits=idbits)
+    rng = np.random.default_rng(77)
+    for i in range(6):
+        n = 40 + 15 * i                      # distinct hpi per track
+        pairs = np.stack([rng.integers(0, 200, n),
+                          rng.integers(0, 64, n)], axis=1)
+        ht.store_vectorized(f"t{i}", pairs.astype(np.int64))
+    table = jnp.asarray(DT.split_wide(ht.table) if tcfg.wide else ht.table)
+    counts = jnp.asarray(ht.counts)
+    hpi = np.zeros(16, np.int32)
+    hpi[:6] = ht.hashesperid
+    plane = DT.build_hpi_plane(table, jnp.asarray(hpi), tcfg)
+    assert plane.shape == (tcfg.n_buckets, tcfg.depth)
+    Q = 128
+    q = np.unique(np.stack([rng.integers(0, 150, 90),
+                            rng.integers(0, 64, 90)], axis=1), axis=0)
+    qt = np.zeros((2, Q), np.int32)
+    qh = np.zeros((2, Q), np.int32)
+    qv = np.zeros((2, Q), bool)
+    qt[0, :len(q)], qh[0, :len(q)], qv[0, :len(q)] = q[:, 0], q[:, 1], True
+    qt[1, :40], qh[1, :40], qv[1, :40] = q[:40, 0] + 5, q[:40, 1], True
+    for exact in (False, True):
+        for timerange in (False, True):
+            mcfg = voting.MatchConfig(
+                window=2, search_depth=8, max_returns=4, threshcount=1,
+                exact_count=exact, find_time_range=timerange,
+                qt_cap=256, n_ids_cap=16)
+            a = voting.match_batch_sorted(
+                table, counts, jnp.asarray(hpi), jnp.asarray(qt),
+                jnp.asarray(qh), jnp.asarray(qv), tcfg, mcfg)
+            b = voting.match_batch_sorted(
+                table, counts, jnp.asarray(hpi), jnp.asarray(qt),
+                jnp.asarray(qh), jnp.asarray(qv), tcfg, mcfg,
+                hpi_plane=plane)
+            for k in a:
+                np.testing.assert_array_equal(
+                    np.asarray(a[k]), np.asarray(b[k]),
+                    err_msg=f"{k} exact={exact} tr={timerange} "
+                            f"idbits={idbits}")
