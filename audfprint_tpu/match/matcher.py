@@ -215,8 +215,9 @@ class Matcher:
     def _sorted_bytes_per_row(self, tcfg, Q: int) -> int:
         """Sorted-core footprint estimate: ~16 hit-domain int32 arrays per
         row (sorts double-buffer), independent of maxtime/query length.
-        Exact-count adds the 3H-wide merged event/run sort (5 operands,
-        double-buffered) — roughly 2.5x the approx footprint."""
+        Exact-count adds the 3H-wide merged event/run sort (3 packed
+        operands since round 4, double-buffered) — the 2.5x estimate is
+        kept as the envelope (it now carries slack rather than risk)."""
         per = 16 * Q * tcfg.depth * 4
         return per * 5 // 2 if self.exact_count else per
 
