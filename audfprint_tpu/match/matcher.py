@@ -127,7 +127,11 @@ class Matcher:
                 table, counts, tcfg = sharded.upload_sharded(ht, mesh)
                 hpi_dev = jax.device_put(
                     hpi, NamedSharding(mesh, PS()))
-                plane = None
+                # per-entry hpi plane shards like the table (rows follow
+                # the bucket range); jit propagates the table's sharding
+                # through build_hpi_plane's gather-from-replicated
+                plane = self._maybe_hpi_plane(table, hpi_dev, tcfg,
+                                              ndev=ndev)
             else:
                 mesh = None
                 table, counts, tcfg = DT.table_to_device(ht)
@@ -145,10 +149,12 @@ class Matcher:
     # voting memory budget); True/False forces.
     use_hpi_plane: bool | None = None
 
-    def _maybe_hpi_plane(self, table, hpi_dev, tcfg):
+    def _maybe_hpi_plane(self, table, hpi_dev, tcfg, ndev: int = 1):
         use = self.use_hpi_plane
         if use is None:
-            plane_bytes = 4 * tcfg.n_buckets * tcfg.depth
+            # per-DEVICE bytes: a sharded plane splits its rows like the
+            # table, so each device holds 1/ndev of it
+            plane_bytes = 4 * tcfg.n_buckets * tcfg.depth // max(1, ndev)
             use = plane_bytes <= self._budget_bytes() // 2
         return DT.build_hpi_plane(table, hpi_dev, tcfg) if use else None
 
@@ -244,24 +250,28 @@ class Matcher:
         maxt = max([1] + [int(h[:, 0].max()) + 1 for h in hash_lists
                           if len(h)])
         qt_cap = _next_pow2(maxt, 2048)
-        # voting-memory envelope.  Single-device matching uses the
-        # compacted-RLE ("sorted") core — fastest at every measured scale
+        # voting-memory envelope.  Matching uses the compacted-RLE
+        # ("sorted") core everywhere — fastest at every measured scale
         # since round 4 AND O(B*H) memory independent of maxtime/query
-        # length, so the envelope only ever splits the batch.  The sharded
-        # path keeps the psum-combinable hist core, whose bin-domain
-        # buffers grow with query length: a query too long for even one
-        # row's hist buffers drops to one device (bit-identical) instead
-        # of OOMing mid-mesh.
+        # length, so the envelope only ever splits the batch.  On a mesh
+        # the same vote runs after an all_to_all hit exchange
+        # (sharded.sharded_match_rle_packed_cached): per-device sort
+        # volume equals the single-device core's at equal B, so the
+        # single-device envelope formula carries over unchanged.  The
+        # psum-combinable hist core stays reachable via force_core (the
+        # A/B + equivalence-reference path).
         budget = self._budget_bytes()
-        core = "hist" if mesh is not None else "sorted"
-        if self.force_core is not None and mesh is None:
+        core = "sorted"
+        if self.force_core is not None:
             # benchmark/testing hook: pin the voting core regardless of the
             # dispatch policy (both cores are bit-identical; this exists so
             # perf harnesses can A/B them on hardware)
             core = self.force_core
-        if mesh is not None:
+        if mesh is not None and core == "hist":
             per_row = self._voting_bytes_per_row(tcfg, qt_cap, Q)
             if per_row > budget:
+                # a query too long for even one row's hist buffers drops
+                # to one device (bit-identical) instead of OOMing mid-mesh
                 if self.verbose:
                     print("Note: query exceeds the sharded voting memory "
                           "envelope; matching this batch single-device")
@@ -271,9 +281,9 @@ class Matcher:
                 hpi_plane = self._maybe_hpi_plane(table, hpi, tcfg)
                 mesh = None
                 core = "sorted"
-        if core == "hist" and mesh is None:
+        if core == "hist":
             per_row = self._voting_bytes_per_row(tcfg, qt_cap, Q)
-        if core == "sorted":
+        else:
             per_row = self._sorted_bytes_per_row(tcfg, Q)
         # sub-batch size is a POWER OF TWO, not B itself: callers with
         # varying batch sizes (the --listen loop's dynamic batching drains
@@ -330,9 +340,28 @@ class Matcher:
         # relay; see voting.match_batch_packed)
         if mesh is not None:
             from audfprint_tpu.parallel import sharded
-            fn = sharded.sharded_match_packed_cached(mesh, tcfg, mcfg)
-            out = np.asarray(fn(table, counts, hpi, jnp.asarray(tt),
-                                jnp.asarray(hh), jnp.asarray(vv)))
+            if core == "sorted":
+                # the RLE exchange splits the batch axis over the mesh —
+                # pad B to a multiple of ndev with empty rows (B is a
+                # static power of two per compiled graph, so this adds at
+                # most ndev-1 all-invalid rows, dropped below)
+                ndev = mesh.devices.size
+                Bp = -(-B // ndev) * ndev
+                if Bp != B:
+                    z = np.zeros((Bp - B, Q), tt.dtype)
+                    tt = np.concatenate([tt, z])
+                    hh = np.concatenate([hh, z.astype(hh.dtype)])
+                    vv = np.concatenate([vv, np.zeros((Bp - B, Q), bool)])
+                fn = sharded.sharded_match_rle_packed_cached(
+                    mesh, tcfg, mcfg, hpi_plane is not None)
+                args = (table, counts, hpi) + (
+                    (hpi_plane,) if hpi_plane is not None else ())
+                out = np.asarray(fn(*args, jnp.asarray(tt),
+                                    jnp.asarray(hh), jnp.asarray(vv)))[:B]
+            else:
+                fn = sharded.sharded_match_packed_cached(mesh, tcfg, mcfg)
+                out = np.asarray(fn(table, counts, hpi, jnp.asarray(tt),
+                                    jnp.asarray(hh), jnp.asarray(vv)))
         else:
             out = np.asarray(voting.match_batch_packed(
                 table, counts, hpi, jnp.asarray(tt), jnp.asarray(hh),

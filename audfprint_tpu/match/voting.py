@@ -635,13 +635,10 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     range limits.  Everything is O(B*H log H) with H = Q * depth,
     independent of maxtime, query length, AND track count.  Bit-identical
     to match_core / the oracle (shared tests); match_batch dispatches
-    here for single-device matching, while the sharded path keeps the
-    psum-combinable hist core.
+    here for single-device matching, and the sharded path reuses the
+    same vote via an all_to_all hit exchange (sharded._vote_rle callers).
     """
     B, Q = qhashes.shape
-    SD = mcfg.search_depth
-    W = mcfg.window
-    Mc = max(1, mcfg.modes_cap) if mcfg.exact_count else 1
     N = mcfg.n_ids_cap
     nbins = tcfg.maxtime + mcfg.qt_cap
 
@@ -651,10 +648,56 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     id_f = ids3.reshape(B, H)
     dt_f = dts3.reshape(B, H)
     v_f = hv3.reshape(B, H)
-    iota_h = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None], (B, H))
 
     dtbin_f = jnp.clip(dt_f + mcfg.qt_cap, 0, nbins - 1)
     idk = jnp.where(v_f, jnp.minimum(id_f, N - 1), N)   # invalid sorts last
+    qt_f = None
+    if mcfg.find_time_range:
+        qt_f = jnp.clip(
+            jnp.broadcast_to(qtimes[:, :, None],
+                             (B, Q, tcfg.depth)).reshape(B, H),
+            0, mcfg.qt_cap - 1)
+    hpi_f = None
+    if hpi_plane is not None:
+        hpi_f = DT.gather_plane(hpi_plane, qhashes, tcfg, 0).reshape(B, H)
+    return _vote_rle(idk, dtbin_f, qt_f, hpi_f, hashesperid,
+                     Q, tcfg, mcfg)
+
+
+def _vote_rle(idk: jax.Array, dtbin_f: jax.Array,
+              qt_f: jax.Array | None, hpi_f: jax.Array | None,
+              hashesperid: jax.Array | None, qrows: int,
+              tcfg: DT.TableConfig, mcfg: MatchConfig):
+    """The compacted-RLE vote on flat hit arrays (see match_core_sorted's
+    docstring for the algorithm).  Split out so the sharded path can run
+    the IDENTICAL vote after an all_to_all hit exchange (each device votes
+    its own query slice over the union of every shard's hits —
+    parallel.sharded.sharded_match_rle; bit-identity argument there).
+
+    idk:     (B, H) hit track ids, invalid slots = n_ids_cap (sorts last)
+    dtbin_f: (B, H) hit dt bins (dt + qt_cap, clipped to [0, nbins))
+    qt_f:    (B, H) hit query frame (clipped to qt_cap) — required iff
+             mcfg.find_time_range
+    hpi_f:   (B, H) per-hit hashesperid payload (DT.build_hpi_plane), or
+             None to gather from the `hashesperid` id-domain vector
+    qrows:   number of query-hash rows: H == qrows * depth, and each row's
+             depth hits are contiguous (the exact-count consecutive-pair
+             structure) — Q single-device, ndev*Q after the exchange
+
+    Results are invariant to the ORDER of hits within a (B-row, id, bin)
+    group: counts are multiset quantities, same-id hpi payloads are equal
+    by construction, aligned qtimes are re-sorted ascending before the
+    quantile reads, and every sort here is stable with deterministic
+    tie keys — which is what makes the exchanged layout bit-identical to
+    the single-device layout (test_sharded pins it)."""
+    B, H = idk.shape
+    SD = mcfg.search_depth
+    W = mcfg.window
+    Mc = max(1, mcfg.modes_cap) if mcfg.exact_count else 1
+    N = mcfg.n_ids_cap
+    nbins = tcfg.maxtime + mcfg.qt_cap
+    assert qrows * tcfg.depth == H
+    iota_h = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None], (B, H))
 
     # F1: all hits sorted by (id, bin); qtime rides along only when the
     # time-range path will need it.  When the caller staged a per-entry
@@ -667,17 +710,13 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
     # store time), so results stay bit-identical.
     ops = [idk, dtbin_f]
     if mcfg.find_time_range:
-        ops.append(jnp.clip(
-            jnp.broadcast_to(qtimes[:, :, None],
-                             (B, Q, tcfg.depth)).reshape(B, H),
-            0, mcfg.qt_cap - 1))
-    if hpi_plane is not None:
-        ops.append(DT.gather_plane(hpi_plane, qhashes, tcfg, 0)
-                   .reshape(B, H))
+        ops.append(qt_f)
+    if hpi_f is not None:
+        ops.append(hpi_f)
     srt = jax.lax.sort(tuple(ops), num_keys=2)
     s_id, s_db = srt[0], srt[1]
     s_qt = srt[2] if mcfg.find_time_range else None
-    s_hpi = srt[-1] if hpi_plane is not None else None
+    s_hpi = srt[-1] if hpi_f is not None else None
 
     # --- candidate selection on the id-run starts (same keys and tie
     # rule as _select_candidates_hits; bit-identical outputs) ---
@@ -802,13 +841,13 @@ def match_core_sorted(table: jax.Array, counts: jax.Array,
         # from a per-query-row (id, bin) sort along the depth axis (a
         # query hash's hits are contiguous rows of the (B, Q, depth)
         # layout), exactly the oracle's consecutive-hit structure.
-        id3 = idk.reshape(B, Q, tcfg.depth)
-        d3 = dtbin_f.reshape(B, Q, tcfg.depth)
+        id3 = idk.reshape(B, qrows, tcfg.depth)
+        d3 = dtbin_f.reshape(B, qrows, tcfg.depth)
         i3s, d3s = jax.lax.sort((id3, d3), num_keys=2)
         pair_ok = ((i3s[..., :-1] == i3s[..., 1:])
                    & (i3s[..., 1:] < N)
                    & (d3s[..., 1:] - d3s[..., :-1] <= 2 * W))
-        NP = Q * (tcfg.depth - 1)
+        NP = qrows * (tcfg.depth - 1)
         pid = jnp.where(pair_ok, i3s[..., 1:], N).reshape(B, NP)
         dlo = d3s[..., :-1].reshape(B, NP)
         dhi = d3s[..., 1:].reshape(B, NP)

@@ -132,6 +132,106 @@ def _combiners(ndev: int) -> dict:
 
 
 @functools.lru_cache(maxsize=64)
+def sharded_match_rle_packed_cached(mesh: Mesh, tcfg: DT.TableConfig,
+                                    mcfg: "voting.MatchConfig",
+                                    with_plane: bool = False):
+    """Sharded matching via the compacted-RLE core (the round-4 default
+    single-device vote) — an all_to_all hit exchange instead of the hist
+    core's bin-domain psum.
+
+    The psum path combines per-shard partials as (B, SD+1,
+    maxtime + qt_cap) histograms — at config-5 shapes that is a ~1 GB
+    collective per batch (int32, B=128, SD=100, nbins=18k), plus the
+    scatter-add wall the RLE core was built to remove.  But the hits
+    themselves are tiny: a query hash's hits all live on the shard owning
+    its bucket, so the union of all shards' (B, H) hit arrays IS the
+    single-device hit multiset.  So instead of voting in the bin domain
+    and summing, exchange the hits and vote once:
+
+      1. each shard row-gathers its local hits for ALL queries (EP-style:
+         zero communication — the table rows never move)
+      2. ONE all_to_all (split the batch axis, concatenate the hit axis):
+         each device now holds ALL shards' hits for ITS B/ndev query
+         slice — comm is O(B * H * ops) int32 words (a few MB), replacing
+         the O(B * SD * nbins) psum
+      3. each device runs voting._vote_rle on its (B/ndev, ndev*H) slice —
+         per-device sort volume B*H elements, the SAME as the
+         single-device core at equal B, with none of the hist buffers
+      4. all_gather the packed (B/ndev, max_returns, 7) results (KBs)
+
+    Bit-identity to the single-device core: the exchanged rows hold the
+    same hit multiset per query (plus ndev-1 rows' worth of invalid
+    padding, which sorts last and is masked everywhere), and _vote_rle's
+    results are invariant to hit order within a (row, id, bin) group —
+    see its docstring.  The exact-count consecutive-pair structure is
+    also preserved: each (shard, query-hash) block of `depth` slots
+    arrives contiguous, and a hash's real hits all sit in exactly one
+    shard's block (its bucket owner), so the per-row pair sort sees the
+    identical hit set (reference semantics: audfprint_match.py:~200
+    _exact_match_counts).  B must be a multiple of ndev (the Matcher pads
+    the tail rows with empty queries).
+
+    with_plane adds the per-entry hashesperid plane (DT.build_hpi_plane,
+    sharded like the table) as one more exchanged payload operand.
+    """
+    import jax.numpy as jnp
+
+    ndev = mesh.devices.size
+    assert tcfg.n_buckets % ndev == 0
+    n_local = tcfg.n_buckets // ndev
+    N = mcfg.n_ids_cap
+    nbins = tcfg.maxtime + mcfg.qt_cap
+
+    def _body(table, counts, hpi, plane, qt, qh, qv):
+        lo = jax.lax.axis_index("d") * n_local
+        ids3, dts3, hv3 = DT.get_hits_local(
+            table, counts, qt, qh, qv, tcfg, lo)
+        B, Q = qh.shape
+        H = Q * tcfg.depth
+        id_f = ids3.reshape(B, H)
+        v_f = hv3.reshape(B, H)
+        idk = jnp.where(v_f, jnp.minimum(id_f, N - 1), N)
+        dtb = jnp.clip(dts3.reshape(B, H) + mcfg.qt_cap, 0, nbins - 1)
+        ops = [idk, dtb]
+        if mcfg.find_time_range:
+            ops.append(jnp.clip(
+                jnp.broadcast_to(qt[:, :, None],
+                                 (B, Q, tcfg.depth)).reshape(B, H),
+                0, mcfg.qt_cap - 1))
+        if with_plane:
+            ops.append(DT.gather_plane(plane, qh, tcfg, lo).reshape(B, H))
+        if ndev > 1:
+            ops = [jax.lax.all_to_all(o, "d", split_axis=0, concat_axis=1,
+                                      tiled=True) for o in ops]
+        qt_x = ops[2] if mcfg.find_time_range else None
+        hpi_x = ops[-1] if with_plane else None
+        out = voting._vote_rle(ops[0], ops[1], qt_x, hpi_x, hpi,
+                               ndev * Q, tcfg, mcfg)
+        packed = jnp.stack(
+            [out["ids"], out["filtcount"], out["mode_dt"], out["rawcount"],
+             out["min_t"], out["max_t"], out["rvalid"].astype(jnp.int32)],
+            axis=-1)
+        if ndev > 1:
+            packed = jax.lax.all_gather(packed, "d", axis=0, tiled=True)
+        return packed
+
+    if with_plane:
+        _local = _body
+        extra = (PS("d", None),)
+    else:
+        def _local(table, counts, hpi, qt, qh, qv):
+            return _body(table, counts, hpi, None, qt, qh, qv)
+        extra = ()
+
+    f = shard_map(_local, mesh=mesh,
+                  in_specs=(PS("d", None), PS("d"), PS()) + extra
+                  + (PS(), PS(), PS()),
+                  out_specs=PS(),
+                  check_vma=False)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
 def sharded_match_packed_cached(mesh: Mesh, tcfg: DT.TableConfig,
                                 mcfg: "voting.MatchConfig"):
     """Like sharded_match_fn but returns the single packed

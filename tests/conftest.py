@@ -21,8 +21,15 @@ import jax  # noqa: E402
 # The axon sitecustomize pins jax_platforms="axon,cpu" via jax.config at
 # interpreter start (beats the env var) — override it back to CPU here,
 # before any backend initializes.
+from audfprint_tpu.utils.jaxconfig import machine_tag  # noqa: E402
+
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_audfprint_tests")
+# Machine-fingerprinted dir: /tmp persists across sessions here but the
+# underlying host can change, and XLA:CPU AOT cache entries are machine
+# code — loading another host's entries warns of SIGILL and has crashed
+# the suite mid-cache-write (see utils/jaxconfig.py docstring).
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/jax_cache_audfprint_tests-" + machine_tag())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

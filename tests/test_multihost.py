@@ -30,7 +30,8 @@ def test_multiprocess_distributed_store_and_match(tmp_path, nproc, ndev):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)                 # worker sets its own
     env["JAX_PLATFORMS"] = "cpu"
-    env["JAX_TEST_CACHE_DIR"] = "/tmp/jax_cache_audfprint_tests"
+    from audfprint_tpu.utils.jaxconfig import machine_tag
+    env["JAX_TEST_CACHE_DIR"] = "/tmp/jax_cache_audfprint_tests-" + machine_tag()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # repo only: the axon TPU plugin's sitecustomize initializes the XLA
     # backend at interpreter start, which jax.distributed.initialize forbids

@@ -164,9 +164,12 @@ def test_sharded_selection_stress(mesh, SD, exact):
 
 
 def test_sharded_matcher_envelope_fallback(rng, tmp_path, capsys):
-    """A query past the voting memory envelope on a sharded Matcher must
-    fall back to the single-device sorted core (not OOM mid-mesh) with
-    bit-identical results (review r3)."""
+    """A query past the voting memory envelope on a sharded Matcher's HIST
+    core must fall back to the single-device sorted core (not OOM
+    mid-mesh) with bit-identical results (review r3).  The default
+    sharded core is the RLE exchange since round 4 (maxtime/query-length
+    independent memory, so no fallback exists to trigger) — pin the hist
+    core to exercise the path."""
     from audfprint_tpu.index.hash_table import HashTable
     from audfprint_tpu.match.matcher import Matcher
 
@@ -182,9 +185,106 @@ def test_sharded_matcher_envelope_fallback(rng, tmp_path, capsys):
     m1 = Matcher(ndev=1, verbose=0, search_depth=8)
     want = m1.match_hashes_batch(ht, queries)
     m8 = Matcher(ndev=8, verbose=1, search_depth=8)
+    m8.force_core = "hist"
     m8.mem_budget_bytes = 1          # force the envelope fallback
     got = m8.match_hashes_batch(ht, queries)
     out = capsys.readouterr().out
     assert "single-device" in out    # the fallback note fired
     for a, b in zip(want, got):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("exact,timerange,sbt,plane", [
+    (False, False, False, False), (False, True, False, True),
+    (True, True, False, False), (True, True, True, True)])
+def test_sharded_rle_matches_single(mesh, rng, exact, timerange, sbt,
+                                    plane):
+    """The sharded RLE exchange core (all_to_all hits + _vote_rle on
+    batch slices) is bit-identical to the single-device packed sorted
+    core across the option matrix, with and without the hpi plane."""
+    t, h, v, ids = _streams(rng, B=6, L=400)
+    table, counts = DT.empty_table(TCFG)
+    table, counts = DT.store_batch(table, counts, t, h, v, ids, TCFG)
+    hpi = jnp.asarray(np.full(32, 400, np.int32))
+
+    B = 8                                     # multiple of ndev
+    tq = np.zeros((B, 128), np.int32)
+    hq = np.zeros((B, 128), np.int32)
+    vq = np.zeros((B, 128), bool)
+    tnp, hnp, vnp = (np.asarray(t), np.asarray(h), np.asarray(v))
+    for b in range(5):                        # rows 5..7 stay empty
+        idx = np.nonzero(vnp[(b + 1) % 6])[0][:100]
+        tq[b, :len(idx)] = np.maximum(0, tnp[(b + 1) % 6, idx] - 50)
+        hq[b, :len(idx)] = hnp[(b + 1) % 6, idx]
+        vq[b, :len(idx)] = True
+
+    mcfg = voting.MatchConfig(search_depth=8, max_returns=3, qt_cap=1024,
+                              n_ids_cap=32, exact_count=exact,
+                              find_time_range=timerange, sort_by_time=sbt)
+    want = np.asarray(voting.match_batch_packed(
+        table, counts, hpi, jnp.asarray(tq), jnp.asarray(hq),
+        jnp.asarray(vq), TCFG, mcfg, "sorted"))
+    tableN, countsN = sharded.shard_table(mesh, table, counts)
+    fn = sharded.sharded_match_rle_packed_cached(mesh, TCFG, mcfg, plane)
+    args = (tableN, countsN, hpi)
+    if plane:
+        args += (DT.build_hpi_plane(tableN, hpi, TCFG),)
+    got = np.asarray(fn(*args, jnp.asarray(tq), jnp.asarray(hq),
+                        jnp.asarray(vq)))
+    assert np.array_equal(got, want)
+
+
+def test_sharded_rle_selection_stress(mesh):
+    """Tiny hash range -> heavy cross-shard candidate ties through the RLE
+    exchange (the analog of test_sharded_selection_stress)."""
+    rng = np.random.default_rng(99)
+    B, L = 16, 200
+    t = rng.integers(0, TCFG.maxtime, (B, L)).astype(np.int32)
+    h = rng.integers(0, 256, (B, L)).astype(np.int32)
+    v = np.ones((B, L), bool)
+    ids = np.arange(B, dtype=np.int32)
+    table, counts = DT.empty_table(TCFG)
+    table, counts = DT.store_batch(table, counts, *map(jnp.asarray,
+                                                       (t, h, v, ids)), TCFG)
+    hpi = jnp.asarray(np.full(128, L, np.int32))
+    tq = np.zeros((8, 64), np.int32)
+    hq = np.zeros((8, 64), np.int32)
+    vq = np.zeros((8, 64), bool)
+    tq[:4], hq[:4], vq[:4] = t[:4, :64], h[:4, :64], True
+    mcfg = voting.MatchConfig(search_depth=64, max_returns=4,
+                              qt_cap=1024, n_ids_cap=128,
+                              exact_count=True, threshcount=1)
+    want = np.asarray(voting.match_batch_packed(
+        table, counts, hpi, jnp.asarray(tq), jnp.asarray(hq),
+        jnp.asarray(vq), TCFG, mcfg, "sorted"))
+    tableN, countsN = sharded.shard_table(mesh, table, counts)
+    fn = sharded.sharded_match_rle_packed_cached(mesh, TCFG, mcfg, False)
+    got = np.asarray(fn(tableN, countsN, hpi, jnp.asarray(tq),
+                        jnp.asarray(hq), jnp.asarray(vq)))
+    assert np.array_equal(got, want)
+
+
+def test_sharded_matcher_rle_default(rng):
+    """Matcher(ndev=8) now routes through the RLE exchange by default
+    (auto hpi plane, B=3 padded to a multiple of ndev) — results equal
+    Matcher(ndev=1) exactly."""
+    from audfprint_tpu.index.hash_table import HashTable
+    from audfprint_tpu.match.matcher import Matcher
+
+    ht = HashTable(hashbits=12, depth=8, maxtime=1024)
+    streams = []
+    for i in range(6):
+        p = np.stack([np.sort(rng.integers(0, 1024, 200)),
+                      rng.integers(0, 1 << 12, 200)], axis=1)
+        ht.store_vectorized(f"t{i}", p)
+        streams.append(p)
+    queries = [s[:80] - [int(s[0, 0]), 0] for s in streams[:3]]
+    for exact in (False, True):
+        m1 = Matcher(ndev=1, verbose=0, search_depth=8, exact_count=exact,
+                     find_time_range=True)
+        m8 = Matcher(ndev=8, verbose=0, search_depth=8, exact_count=exact,
+                     find_time_range=True)
+        want = m1.match_hashes_batch(ht, queries)
+        got = m8.match_hashes_batch(ht, queries)
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(a, b)
