@@ -394,11 +394,18 @@ def _resolve_chunk(analyzer: Analyzer, ordered: list, hashes_iter,
 
 
 def _run_pipelined(chunks: list, analyzer: Analyzer, args, report,
-                   stages: Stages, consume) -> None:
+                   stages: Stages, consume, dispatch=None) -> None:
     """Three-stage pipeline shared by do_ingest and do_match: decode chunk
     i+1 on a host thread while the device fingerprints chunk i and
     `consume(ordered, handle)` handles chunk i-1 (the TPU-era
-    QueueReaderThread, SURVEY §2.2; the device never idles)."""
+    QueueReaderThread, SURVEY §2.2; the device never idles).
+
+    `dispatch(ordered) -> handle` overrides the device-dispatch stage
+    (default: fingerprint the chunk's decoded wavs); do_match uses it to
+    dispatch the fused fingerprint+match graph instead."""
+    if dispatch is None:
+        dispatch = lambda ordered: analyzer.fingerprint_async(  # noqa: E731
+            [d for _, kind, d in ordered if kind == "wav" and d is not None])
     pool = ThreadPoolExecutor(max_workers=1)
     dec = lambda c: _decode_chunk(analyzer, args, report, c)  # noqa: E731
     pending = pool.submit(dec, chunks[0]) if chunks else None
@@ -410,9 +417,7 @@ def _run_pipelined(chunks: list, analyzer: Analyzer, args, report,
             pending = (pool.submit(dec, chunks[ci + 1])
                        if ci + 1 < len(chunks) else None)
             with stages.time("dispatch"):
-                handle = analyzer.fingerprint_async(
-                    [d for _, kind, d in ordered
-                     if kind == "wav" and d is not None])
+                handle = dispatch(ordered)
             if in_flight is not None:
                 consume(*in_flight)
             in_flight = (ordered, handle)
@@ -569,10 +574,40 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
                 out.append((f"{name} t={t0:.1f}s", sel, wdur))
         return out
 
+    # fused serving fast path (single-device, no windowing/sweep): the
+    # dispatch stage runs ONE fingerprint+match graph per chunk, so an
+    # interactive query through a relay-attached chip pays one dispatch +
+    # one result fetch instead of fingerprint dispatch + two hash fetches
+    # + match dispatch + result fetch (matcher._fused_match_graph;
+    # bit-identical, with per-row two-stage fallback past the static caps)
+    fused_ok = wsec <= 0 and not pct
+
+    def dispatch(ordered):
+        sigs = [d for _, kind, d in ordered
+                if kind == "wav" and d is not None]
+        if fused_ok and sigs and len(sigs) == len(ordered):
+            h = matcher.match_samples_fused_async(analyzer, ht, sigs)
+            if h is not None:
+                return ("fused", h)
+        return ("fp", analyzer.fingerprint_async(sigs))
+
     def consume(ordered, handle):
         nonlocal tot_dur, n_done
+        tag, payload = handle
+        if tag == "fused":
+            with stages.time("match"):
+                res, nh = matcher.match_fused_resolve(analyzer, ht,
+                                                      payload)
+            for (name, _k, d), rrows, nhq in zip(ordered, res, nh):
+                dur = len(d) / analyzer.target_sr
+                for msg in matcher.results_to_msgs(rrows, dur, nhq,
+                                                   analyzer, ht, name):
+                    report(msg)
+                tot_dur += dur
+                n_done += 1
+            return
         with stages.time("analyze"):
-            hashes = iter(analyzer.fingerprint_resolve(handle))
+            hashes = iter(analyzer.fingerprint_resolve(payload))
         rows = _resolve_chunk(analyzer, ordered, hashes, report)
         if not rows:
             return
@@ -607,7 +642,8 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
             tot_dur += dur
             n_done += 1
 
-    _run_pipelined(chunks, analyzer, args, report, stages, consume)
+    _run_pipelined(chunks, analyzer, args, report, stages, consume,
+                   dispatch=dispatch)
     return n_done, tot_dur
 
 
@@ -636,7 +672,10 @@ def do_warmup(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
         hashes = analyzer.samples_batch2hashes(clips)   # analyzer bucket
         for b in bsizes:
             matcher.match_hashes_batch(ht, hashes[:b])  # (bsub, Q) graph
-            n_graphs += 1
+            # the fused serving graph for the same (rows, bucket) shape —
+            # what `match` / `match --listen` actually dispatches first
+            matcher.match_samples_fused(analyzer, ht, clips[:b])
+            n_graphs += 2
         report(f"warmed {d:g} s bucket (batch sizes {bsizes})")
     return len(durs) + n_graphs
 

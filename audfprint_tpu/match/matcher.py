@@ -9,6 +9,9 @@ against the same DB pay the transfer once.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 
 from audfprint_tpu import params as P
@@ -18,6 +21,56 @@ from audfprint_tpu.utils import audio as audio_io
 
 
 _next_pow2 = P.next_pow2
+
+# qt_cap floor shared by the two-stage batch path and the fused serving
+# graph: queries whose max frame fits under it (~47.5 s at the default
+# hop) compile ONE dt-bin domain, and the fused path's static cap equals
+# the two-stage path's derived qt_cap exactly (bit-identity precondition)
+_QT_FLOOR = 2048
+
+
+@functools.partial(jax.jit, static_argnames=("pcfg", "tcfg", "mcfg",
+                                             "qcap"))
+def _fused_match_graph(audio, lengths, table, counts, hpi, hpi_plane,
+                       pcfg, tcfg, mcfg, qcap: int):
+    """ONE compiled graph from raw audio to packed match results.
+
+    The serving fast path: fingerprint_batch_compact -> static qcap-column
+    slice of the front-compacted (t, hash) buffer -> the compacted-RLE
+    vote -> the packed (B, max_returns, 7) result, all inside one jit.
+    Through a relay-attached chip every host<->device interaction is a
+    ~30 ms round trip; the two-stage path pays fingerprint dispatch +
+    count fetch + hash fetch + match dispatch + result fetch, while this
+    graph pays dispatch + ONE fetch.  The query hashes never touch the
+    host on the fast path.
+
+    Row [-1] of the returned (B, max_returns + 1, 7) buffer carries the
+    host-side eligibility readback [n_unique_hashes, max_frame,
+    effective_qcap, 0...]: a row whose hash count exceeds the static cap
+    (or whose max frame reaches mcfg.qt_cap) is re-matched by the caller
+    through the two-stage path, so truncation can never change results
+    (match_fused_resolve).  Results for eligible rows are bit-identical
+    to match_hashes_batch: same fingerprint graph, same vote, and the
+    vote is invariant to trailing invalid query slots and shares the
+    static qt_cap floor (reference behavior: audfprint_match.py:~120
+    match_hashes over audfprint_analyze.py wavfile2hashes)."""
+    import jax.numpy as jnp
+
+    from audfprint_tpu.ops import pipeline as pipe
+
+    th, cnt = pipe.fingerprint_batch_compact(audio, lengths, pcfg)
+    qce = min(qcap, th.shape[1])
+    qt = th[:, :qce, 0]
+    qh = th[:, :qce, 1]
+    iota = jnp.arange(qce, dtype=jnp.int32)[None]
+    qv = iota < jnp.minimum(cnt, qce)[:, None]
+    packed = voting.match_batch_packed(table, counts, hpi, qt, qh, qv,
+                                       tcfg, mcfg, "sorted", hpi_plane)
+    maxt = jnp.max(jnp.where(qv, qt, 0), axis=1)
+    zero = jnp.zeros_like(cnt)
+    extra = jnp.stack([cnt, maxt, jnp.full_like(cnt, qce),
+                       zero, zero, zero, zero], axis=-1)
+    return jnp.concatenate([packed, extra[:, None, :]], axis=1)
 
 
 def sweep_factors(pct: float) -> list:
@@ -181,6 +234,11 @@ class Matcher:
     # is a perf-harness hook, ignored on sharded meshes.
     force_core: str | None = None
 
+    # Pin the fused serving graph's static query-hash cap (None = estimate
+    # per bucket from density); a cap below the actual unique-hash count
+    # just re-routes those rows two-stage — a tuning/testing hook.
+    fused_qcap: int | None = None
+
     def _budget_bytes(self) -> int:
         if self.mem_budget_bytes is not None:
             return self.mem_budget_bytes
@@ -226,6 +284,17 @@ class Matcher:
         kept as the envelope (it now carries slack rather than risk)."""
         per = 16 * Q * tcfg.depth * 4
         return per * 5 // 2 if self.exact_count else per
+
+    def _mcfg(self, qt_cap: int, ncap: int) -> voting.MatchConfig:
+        return voting.MatchConfig(
+            window=self.window, threshcount=self.threshcount,
+            max_returns=self.max_returns, search_depth=self.search_depth,
+            exact_count=self.exact_count,
+            find_time_range=self.find_time_range,
+            time_quantile=self.time_quantile,
+            sort_by_time=self.sort_by_time,
+            qt_cap=qt_cap, n_ids_cap=ncap,
+            modes_cap=max(1, self.max_returns))
 
     def match_hashes(self, ht, hashes) -> np.ndarray:
         """Query (t, hash) rows -> (k, 6) int64 result rows
@@ -325,15 +394,7 @@ class Matcher:
             tt[b, : len(h)] = h[:, 0]
             hh[b, : len(h)] = h[:, 1]
             vv[b, : len(h)] = True
-        mcfg = voting.MatchConfig(
-            window=self.window, threshcount=self.threshcount,
-            max_returns=self.max_returns, search_depth=self.search_depth,
-            exact_count=self.exact_count,
-            find_time_range=self.find_time_range,
-            time_quantile=self.time_quantile,
-            sort_by_time=self.sort_by_time,
-            qt_cap=qt_cap, n_ids_cap=ncap,
-            modes_cap=max(1, self.max_returns))
+        mcfg = self._mcfg(qt_cap, ncap)
         import jax.numpy as jnp
         # single packed output buffer = single D2H fetch (the per-array
         # fetches of the dict form dominated per-batch latency through the
@@ -428,6 +489,88 @@ class Matcher:
             if score(rr) > score(best[i][0]):
                 best[i] = (rr, f, len(h))
         return best
+
+    # -- fused serving fast path --------------------------------------------
+
+    def match_samples_fused_async(self, analyzer, ht, signals: list):
+        """Dispatch the fused one-graph fingerprint+match for a list of
+        sample arrays WITHOUT waiting (serving fast path; see
+        _fused_match_graph).  Returns a handle for match_fused_resolve,
+        or None when the fast path is ineligible — sharded mesh matching,
+        a pinned hist core, or a group past the voting memory envelope —
+        in which case the caller uses the two-stage path unchanged.
+
+        Per-ROW ineligibility (more unique hashes than the static cap, or
+        a query longer than the qt_cap floor) is detected at resolve time
+        from the readback row and re-matched two-stage there, so the fast
+        path can never change results."""
+        (table, counts, hpi, tcfg, ncap, mesh,
+         hpi_plane) = self._device_state(ht)
+        if mesh is not None or self.force_core == "hist":
+            return None
+        mcfg = self._mcfg(_QT_FLOOR, ncap)
+        budget = self._budget_bytes()
+        groups = analyzer.stage_groups(signals)
+        qcaps = []
+        for idxs, batch, lens in groups:
+            # static query-hash cap per bucket: the fingerprint emits
+            # ~density unique hashes/sec (that IS what density means), so
+            # 1.5x + 64 covers the spread; an underestimate only costs a
+            # rare two-stage re-match of that row
+            dur = batch.shape[1] / float(analyzer.target_sr)
+            qcap = self.fused_qcap or _next_pow2(
+                int(dur * analyzer.density * 1.5) + 64, 128)
+            if self._sorted_bytes_per_row(tcfg, qcap) * len(lens) > budget:
+                return None
+            qcaps.append(qcap)
+        import jax.numpy as jnp
+        outs = []
+        for (idxs, batch, lens), qcap in zip(groups, qcaps):
+            dev = _fused_match_graph(
+                jnp.asarray(batch), jnp.asarray(lens), table, counts, hpi,
+                hpi_plane, pcfg=analyzer.config, tcfg=tcfg, mcfg=mcfg,
+                qcap=qcap)
+            outs.append((idxs, dev))
+        return (len(signals), outs, signals)
+
+    def match_fused_resolve(self, analyzer, ht, handle) -> tuple:
+        """Materialize match_samples_fused_async results: ONE packed fetch
+        per dispatch group.  Rows flagged ineligible by the readback row
+        re-match through the two-stage path (bit-identical by
+        construction).  Returns (results rows list, n_hashes list)."""
+        n, outs, signals = handle
+        results: list = [None] * n
+        nhash = [0] * n
+        redo = []
+        for idxs, dev in outs:
+            out = np.asarray(dev)
+            R = out.shape[1] - 1
+            for row, i in enumerate(idxs):
+                cnt_i = int(out[row, R, 0])
+                maxt_i = int(out[row, R, 1])
+                qce = int(out[row, R, 2])
+                nhash[i] = cnt_i
+                if cnt_i > qce or maxt_i + 1 > _QT_FLOOR:
+                    redo.append(i)
+                    continue
+                nres = int(out[row, :R, 6].sum())
+                results[i] = out[row, :nres, :6].astype(np.int64)
+        if redo:
+            hashes = analyzer.samples_batch2hashes(
+                [signals[i] for i in redo])
+            rr = self.match_hashes_batch(ht, hashes)
+            for i, h, r in zip(redo, hashes, rr):
+                results[i] = r
+                nhash[i] = len(h)
+        return results, nhash
+
+    def match_samples_fused(self, analyzer, ht, signals: list):
+        """Blocking convenience over the async/resolve pair; None when the
+        fast path is ineligible (callers fall back to two-stage)."""
+        handle = self.match_samples_fused_async(analyzer, ht, signals)
+        if handle is None:
+            return None
+        return self.match_fused_resolve(analyzer, ht, handle)
 
     # -- file-level API -----------------------------------------------------
 

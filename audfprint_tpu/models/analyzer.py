@@ -197,19 +197,19 @@ class Analyzer:
         batch[0, : len(d)] = d
         return batch
 
-    def fingerprint_async(self, signals: list):
-        """Dispatch fingerprinting of sample arrays to the device WITHOUT
-        waiting: returns an opaque handle for fingerprint_resolve.
+    def stage_groups(self, signals: list):
+        """Stage sample arrays into padded (rows, bucket_len) host batches.
 
-        Lets callers pipeline host work (decode/store of other batches)
-        against device execution — the device is never idle."""
-        import jax.numpy as jnp
-
+        Yields (idxs, batch, lens) groups — the shared front half of
+        fingerprint_async and the Matcher's fused fingerprint+match
+        dispatch (match.matcher).  Groups signals by length bucket, caps
+        rows per dispatch at max_batch_rows, and pads the row count to a
+        power of two so the set of compiled shapes stays O(log rows_cap)
+        per bucket."""
         order = sorted(range(len(signals)), key=lambda i: len(signals[i]))
         groups: dict[int, list[int]] = {}
         for i in order:
             groups.setdefault(_bucket_len(len(signals[i])), []).append(i)
-        handle = []
         rows_cap = max(1, int(self.max_batch_rows))
         # dtype decided per CALL, not per chunk: a mixed corpus stages
         # everything float32 so each (rows, blen) bucket compiles ONE
@@ -217,6 +217,7 @@ class Analyzer:
         # ship raw PCM throughout
         all_i16 = bool(signals) and all(
             s.dtype == np.int16 for s in signals if len(s))
+        out = []
         for blen, g_idxs in groups.items():
             for i0 in range(0, len(g_idxs), rows_cap):
                 idxs = g_idxs[i0: i0 + rows_cap]
@@ -237,9 +238,22 @@ class Analyzer:
                         s = s.astype(np.float32) / float(1 << 15)
                     batch[row, : len(s)] = s
                     lens[row] = len(s)
-                dev = pipe.fingerprint_batch_compact(
-                    jnp.asarray(batch), jnp.asarray(lens), self.config)
-                handle.append((idxs, dev))
+                out.append((idxs, batch, lens))
+        return out
+
+    def fingerprint_async(self, signals: list):
+        """Dispatch fingerprinting of sample arrays to the device WITHOUT
+        waiting: returns an opaque handle for fingerprint_resolve.
+
+        Lets callers pipeline host work (decode/store of other batches)
+        against device execution — the device is never idle."""
+        import jax.numpy as jnp
+
+        handle = []
+        for idxs, batch, lens in self.stage_groups(signals):
+            dev = pipe.fingerprint_batch_compact(
+                jnp.asarray(batch), jnp.asarray(lens), self.config)
+            handle.append((idxs, dev))
         return (len(signals), handle)
 
     def fingerprint_resolve(self, handle) -> list:

@@ -55,6 +55,63 @@ def default_cache_dir(base: str = "~/.cache/audfprint_tpu_jax") -> str:
     return os.path.expanduser(base) + "-" + machine_tag()
 
 
+def patch_atomic_cache_writes() -> bool:
+    """Make JAX's persistent-cache writes ATOMIC (temp file + os.replace).
+
+    jax._src.lru_cache.LRUCache.put writes entries with
+    `cache_path.write_bytes(val)` straight to the final path, and takes
+    its inter-process lock only when eviction is enabled (it is not by
+    default).  Two framework processes sharing one cache dir — a serving
+    `match --listen` next to a batch ingest, or a test run next to a
+    benchmark — can therefore race: the reader deserializes a
+    HALF-WRITTEN executable and segfaults (observed:
+    `get_executable_and_time` SIGSEGV mid-suite while a concurrent
+    process compiled the same shapes), and a writer killed mid-write
+    leaves a permanently poisoned entry.  Writing to a pid-suffixed temp
+    file in the same directory and os.replace-ing it in is atomic on
+    POSIX: readers only ever see absent or complete entries.
+
+    Returns True when the patch is active (idempotent); False when the
+    internal module moved (future jax) — then concurrent processes
+    should use distinct AUDFPRINT_JAX_CACHE dirs instead."""
+    try:
+        from jax._src import lru_cache as _lru
+
+        if getattr(_lru.LRUCache.put, "_audfp_atomic", False):
+            return True
+        suffix = _lru._CACHE_SUFFIX
+        atime_suffix = _lru._ATIME_SUFFIX
+
+        def put(self, key: str, val: bytes) -> None:
+            if not key:
+                raise ValueError("key cannot be empty")
+            if self.eviction_enabled and len(val) > self.max_size:
+                return  # upstream warns; an oversized entry is just skipped
+            cache_path = self.path / f"{key}{suffix}"
+            if self.eviction_enabled:
+                self.lock.acquire(timeout=self.lock_timeout_secs)
+            try:
+                if cache_path.exists():
+                    return
+                self._evict_if_needed(additional_size=len(val))
+                tmp = self.path / f"{key}.{os.getpid()}.tmp"
+                tmp.write_bytes(val)
+                os.replace(tmp, cache_path)
+                if self.eviction_enabled:
+                    import time
+                    ts = time.time_ns().to_bytes(8, "little")
+                    (self.path / f"{key}{atime_suffix}").write_bytes(ts)
+            finally:
+                if self.eviction_enabled:
+                    self.lock.release()
+
+        put._audfp_atomic = True
+        _lru.LRUCache.put = put
+        return True
+    except Exception:
+        return False
+
+
 def setup(cache_dir: str | None = None) -> None:
     global _DONE
     if _DONE:
@@ -68,4 +125,5 @@ def setup(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax without these flags
+    patch_atomic_cache_writes()
     _DONE = True

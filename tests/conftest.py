@@ -22,6 +22,13 @@ import jax  # noqa: E402
 # interpreter start (beats the env var) — override it back to CPU here,
 # before any backend initializes.
 from audfprint_tpu.utils.jaxconfig import machine_tag  # noqa: E402
+from audfprint_tpu.utils.jaxconfig import patch_atomic_cache_writes  # noqa: E402
+
+# atomic temp+rename cache writes: a concurrent process sharing the cache
+# dir (a benchmark, a second suite) must never expose a half-written
+# executable to this process's reads (observed SIGSEGV in
+# get_executable_and_time; see utils/jaxconfig.py)
+patch_atomic_cache_writes()
 
 jax.config.update("jax_platforms", "cpu")
 # Machine-fingerprinted dir: /tmp persists across sessions here but the

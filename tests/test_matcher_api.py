@@ -182,3 +182,68 @@ def test_glob2hashtable_mixed_precompute(tmp_path):
     # sorted order: a.wav gets id 0, b.afpt id 1
     assert ht.names[0].endswith("a.wav") and ht.names[1].endswith("b.afpt")
     assert int(ht.hashesperid[1]) == 50
+
+
+@pytest.mark.parametrize("exact,timerange,sbt", [
+    (False, False, False), (False, True, False), (True, True, True)])
+def test_fused_matches_two_stage(setup, exact, timerange, sbt):
+    """The fused one-graph fingerprint+match serving path is bit-identical
+    to wavfile2hashes -> match_hashes_batch across the option matrix
+    (round 4: one dispatch + one fetch instead of ~5 relay round trips).
+    Covers mixed clip lengths (two buckets), an empty signal row, and
+    int16 raw-PCM staging."""
+    d, analyzer, ht = setup
+    rng = np.random.default_rng(7)
+    sigs = [
+        synth_audio(rng, dur_sec=4.0, n_tones=40),
+        synth_audio(rng, dur_sec=9.5, n_tones=60),     # other bucket
+        np.zeros(0, np.float32),                       # empty row
+        (synth_audio(rng, dur_sec=4.0, n_tones=40)
+         * 32767).astype(np.int16),
+    ]
+    m = Matcher(exact_count=exact, find_time_range=timerange,
+                sort_by_time=sbt, verbose=0, max_returns=2)
+    fused = m.match_samples_fused(analyzer, ht, sigs)
+    assert fused is not None
+    got, nh = fused
+    want = m.match_hashes_batch(ht, analyzer.samples_batch2hashes(sigs))
+    hashes = analyzer.samples_batch2hashes(sigs)
+    for g, w, n, h in zip(got, want, nh, hashes):
+        assert n == len(h)
+        np.testing.assert_array_equal(g, w)
+
+
+def test_fused_qcap_fallback(setup):
+    """A row whose unique-hash count exceeds the fused static cap must be
+    re-matched two-stage (results unchanged, never truncated)."""
+    d, analyzer, ht = setup
+    rng = np.random.default_rng(11)
+    sigs = [synth_audio(rng, dur_sec=6.0, n_tones=50),
+            synth_audio(rng, dur_sec=3.0, n_tones=30)]
+    hashes = analyzer.samples_batch2hashes(sigs)
+    m = Matcher(verbose=0)
+    # a cap provably below row 0's hash count forces the readback fallback
+    m.fused_qcap = max(16, P_next_pow2_floor(len(hashes[0])))
+    assert m.fused_qcap < len(hashes[0])
+    got, nh = m.match_samples_fused(analyzer, ht, sigs)
+    want = m.match_hashes_batch(ht, hashes)
+    assert nh == [len(h) for h in hashes]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def P_next_pow2_floor(n: int) -> int:
+    """Largest power of two strictly below n (n >= 2)."""
+    return 1 << max(0, (int(n) - 1).bit_length() - 1)
+
+
+def test_fused_ineligible_on_mesh(setup):
+    """Sharded matchers return None from the fused async (callers use the
+    two-stage mesh path)."""
+    import jax
+    d, analyzer, ht = setup
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    m = Matcher(ndev=2, verbose=0)
+    sig = [synth_audio(np.random.default_rng(3), dur_sec=4.0)]
+    assert m.match_samples_fused_async(analyzer, ht, sig) is None
