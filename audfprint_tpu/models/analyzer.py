@@ -241,6 +241,16 @@ class Analyzer:
                 out.append((idxs, batch, lens))
         return out
 
+    def _hash_cap_estimate(self, dur_sec: float) -> int:
+        """Static per-file unique-hash estimate for the single-fetch
+        buffer (fingerprint_batch_compact_k): the fingerprint emits
+        ~density unique hashes/sec, shifts add partially-deduped extras
+        (~+50%/shift measured), 1.5x + 64 covers the spread.  An
+        underestimate only costs a tiny per-row fallback fetch."""
+        factor = 1.0 + 0.5 * (self.shifts - 1)
+        return P.next_pow2(
+            int(dur_sec * self.density * factor * 1.5) + 64, 128)
+
     def fingerprint_async(self, signals: list):
         """Dispatch fingerprinting of sample arrays to the device WITHOUT
         waiting: returns an opaque handle for fingerprint_resolve.
@@ -251,23 +261,36 @@ class Analyzer:
 
         handle = []
         for idxs, batch, lens in self.stage_groups(signals):
-            dev = pipe.fingerprint_batch_compact(
-                jnp.asarray(batch), jnp.asarray(lens), self.config)
+            k = self._hash_cap_estimate(batch.shape[1] / self.target_sr)
+            dev = pipe.fingerprint_batch_compact_k(
+                jnp.asarray(batch), jnp.asarray(lens), self.config, k=k)
             handle.append((idxs, dev))
         return (len(signals), handle)
 
     def fingerprint_resolve(self, handle) -> list:
         """Materialize the results of fingerprint_async as (n, 2) arrays.
 
-        Fetches the front-compacted (t, hash) slice only (one packed
-        buffer per dispatch group instead of three full-capacity arrays —
-        the D2H transfer is what bounds ingest on relay-attached chips)."""
+        ONE packed D2H fetch per dispatch group: the (B, k+1, 2) buffer
+        carries the compacted (t, hash) rows AND the per-file counts
+        (pipe.fingerprint_batch_compact_k), so the count fetch + slice
+        dispatch + slice fetch round trips of the old resolve_compact
+        path collapse to a single transfer.  Rows past the static k
+        (rare: k is sized from duration x density with headroom) resolve
+        from the retained on-device full buffer, so results are
+        bit-identical at any k."""
         n, groups = handle
         out: list = [None] * n
-        for idxs, (th, counts) in groups:
-            rows = pipe.resolve_compact(th, counts)
+        for idxs, (buf_dev, th_dev) in groups:
+            buf = np.asarray(buf_dev)
+            k = buf.shape[1] - 1
+            counts = buf[:, k, 0]
             for row, i in enumerate(idxs):
-                out[i] = rows[row]
+                c = int(counts[row])
+                if c <= k:
+                    out[i] = buf[row, :c].astype(np.int32)
+                else:          # overflow fallback: full row, tiny fetch
+                    out[i] = np.asarray(
+                        pipe._one_row(th_dev, row))[:c].astype(np.int32)
         return out
 
     def samples_batch2hashes(self, signals: list) -> list:

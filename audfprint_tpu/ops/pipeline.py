@@ -166,9 +166,43 @@ def fingerprint_batch_compact(audio: jax.Array, lengths: jax.Array,
     return th, counts
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "impl", "k"))
+def fingerprint_batch_compact_k(audio: jax.Array, lengths: jax.Array,
+                                cfg: PipelineConfig, k: int,
+                                impl: str = "auto"):
+    """fingerprint_batch_compact plus a SINGLE-FETCH result buffer.
+
+    Returns (buf, th) where buf is (B, min(k, L) + 1, 2) int32: columns
+    [:k'] are the front-compacted (t, hash) rows and column [k', 0] is the
+    per-file unique count — so ONE D2H fetch of `buf` resolves a whole
+    dispatch group (counts included), replacing the count fetch + slice
+    dispatch + slice fetch sequence of resolve_compact.  Through a
+    relay-attached chip each host<->device interaction is a ~30 ms round
+    trip, and those extra interactions were the dominant term of CLI
+    ingest (BENCH_r04: analyze 0.89 s of a 1.05 s run).
+
+    `th` is the full-capacity compacted buffer, kept ON DEVICE: the rare
+    row whose unique count exceeds k (the caller sizes k from
+    duration x density with headroom) is resolved from it with a tiny
+    per-row fetch — results are bit-identical regardless of k.
+    """
+    th, counts = fingerprint_batch_compact(audio, lengths, cfg, impl)
+    B, L = th.shape[0], th.shape[1]
+    kk = min(k, L)
+    extra = jnp.stack([counts, jnp.zeros_like(counts)],
+                      axis=-1)[:, None, :]
+    buf = jnp.concatenate([th[:, :kk], extra], axis=1)
+    return buf, th
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _slice_rows(th: jax.Array, k: int):
     return th[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _one_row(th: jax.Array, row):
+    return th[row]
 
 
 def _fetch_pow2(k: int, lo: int = 512) -> int:

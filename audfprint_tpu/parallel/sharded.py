@@ -131,6 +131,53 @@ def _combiners(ndev: int) -> dict:
                                      axis=1, tiled=True))
 
 
+def _rle_exchange_core(table, counts, hpi, plane, qt, qh, qv,
+                       tcfg: DT.TableConfig, mcfg: "voting.MatchConfig",
+                       ndev: int, n_local: int, with_plane: bool):
+    """Per-device body of the RLE all_to_all mesh match (see
+    sharded_match_rle_packed_cached's docstring): local bucket-range hit
+    gather for ALL queries -> ONE all_to_all (split batch, concat hits)
+    -> single-device _vote_rle on the local B/ndev query slice ->
+    all_gather of the packed (B, max_returns, 7) results.  Shared by the
+    two-stage mesh matcher and the fused fingerprint+match serving graph
+    (VERDICT r4 #3)."""
+    import jax.numpy as jnp
+
+    N = mcfg.n_ids_cap
+    nbins = tcfg.maxtime + mcfg.qt_cap
+    lo = jax.lax.axis_index("d") * n_local
+    ids3, dts3, hv3 = DT.get_hits_local(
+        table, counts, qt, qh, qv, tcfg, lo)
+    B, Q = qh.shape
+    H = Q * tcfg.depth
+    id_f = ids3.reshape(B, H)
+    v_f = hv3.reshape(B, H)
+    idk = jnp.where(v_f, jnp.minimum(id_f, N - 1), N)
+    dtb = jnp.clip(dts3.reshape(B, H) + mcfg.qt_cap, 0, nbins - 1)
+    ops = [idk, dtb]
+    if mcfg.find_time_range:
+        ops.append(jnp.clip(
+            jnp.broadcast_to(qt[:, :, None],
+                             (B, Q, tcfg.depth)).reshape(B, H),
+            0, mcfg.qt_cap - 1))
+    if with_plane:
+        ops.append(DT.gather_plane(plane, qh, tcfg, lo).reshape(B, H))
+    if ndev > 1:
+        ops = [jax.lax.all_to_all(o, "d", split_axis=0, concat_axis=1,
+                                  tiled=True) for o in ops]
+    qt_x = ops[2] if mcfg.find_time_range else None
+    hpi_x = ops[-1] if with_plane else None
+    out = voting._vote_rle(ops[0], ops[1], qt_x, hpi_x, hpi,
+                           ndev * Q, tcfg, mcfg)
+    packed = jnp.stack(
+        [out["ids"], out["filtcount"], out["mode_dt"], out["rawcount"],
+         out["min_t"], out["max_t"], out["rvalid"].astype(jnp.int32)],
+        axis=-1)
+    if ndev > 1:
+        packed = jax.lax.all_gather(packed, "d", axis=0, tiled=True)
+    return packed
+
+
 @functools.lru_cache(maxsize=64)
 def sharded_match_rle_packed_cached(mesh: Mesh, tcfg: DT.TableConfig,
                                     mcfg: "voting.MatchConfig",
@@ -174,46 +221,13 @@ def sharded_match_rle_packed_cached(mesh: Mesh, tcfg: DT.TableConfig,
     with_plane adds the per-entry hashesperid plane (DT.build_hpi_plane,
     sharded like the table) as one more exchanged payload operand.
     """
-    import jax.numpy as jnp
-
     ndev = mesh.devices.size
     assert tcfg.n_buckets % ndev == 0
     n_local = tcfg.n_buckets // ndev
-    N = mcfg.n_ids_cap
-    nbins = tcfg.maxtime + mcfg.qt_cap
 
     def _body(table, counts, hpi, plane, qt, qh, qv):
-        lo = jax.lax.axis_index("d") * n_local
-        ids3, dts3, hv3 = DT.get_hits_local(
-            table, counts, qt, qh, qv, tcfg, lo)
-        B, Q = qh.shape
-        H = Q * tcfg.depth
-        id_f = ids3.reshape(B, H)
-        v_f = hv3.reshape(B, H)
-        idk = jnp.where(v_f, jnp.minimum(id_f, N - 1), N)
-        dtb = jnp.clip(dts3.reshape(B, H) + mcfg.qt_cap, 0, nbins - 1)
-        ops = [idk, dtb]
-        if mcfg.find_time_range:
-            ops.append(jnp.clip(
-                jnp.broadcast_to(qt[:, :, None],
-                                 (B, Q, tcfg.depth)).reshape(B, H),
-                0, mcfg.qt_cap - 1))
-        if with_plane:
-            ops.append(DT.gather_plane(plane, qh, tcfg, lo).reshape(B, H))
-        if ndev > 1:
-            ops = [jax.lax.all_to_all(o, "d", split_axis=0, concat_axis=1,
-                                      tiled=True) for o in ops]
-        qt_x = ops[2] if mcfg.find_time_range else None
-        hpi_x = ops[-1] if with_plane else None
-        out = voting._vote_rle(ops[0], ops[1], qt_x, hpi_x, hpi,
-                               ndev * Q, tcfg, mcfg)
-        packed = jnp.stack(
-            [out["ids"], out["filtcount"], out["mode_dt"], out["rawcount"],
-             out["min_t"], out["max_t"], out["rvalid"].astype(jnp.int32)],
-            axis=-1)
-        if ndev > 1:
-            packed = jax.lax.all_gather(packed, "d", axis=0, tiled=True)
-        return packed
+        return _rle_exchange_core(table, counts, hpi, plane, qt, qh, qv,
+                                  tcfg, mcfg, ndev, n_local, with_plane)
 
     if with_plane:
         _local = _body
@@ -226,6 +240,70 @@ def sharded_match_rle_packed_cached(mesh: Mesh, tcfg: DT.TableConfig,
     f = shard_map(_local, mesh=mesh,
                   in_specs=(PS("d", None), PS("d"), PS()) + extra
                   + (PS(), PS(), PS()),
+                  out_specs=PS(),
+                  check_vma=False)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def sharded_fused_match_cached(mesh: Mesh, pcfg, tcfg: DT.TableConfig,
+                               mcfg: "voting.MatchConfig", qcap: int,
+                               with_plane: bool = False):
+    """ONE shard_map jit from raw audio to packed match results on a
+    mesh (VERDICT r4 #3) — the multi-device analog of
+    matcher._fused_match_graph:
+
+      DP fingerprint of the local batch slice -> all_gather the (tiny)
+      query hashes -> the RLE all_to_all hit exchange + local vote
+      (_rle_exchange_core) -> packed results, replicated.
+
+    Returns jitted (table, counts, hpi[, plane], audio, lengths) ->
+    (B, max_returns + 1, 7) int32 with the same row[-1] host-eligibility
+    readback protocol as _fused_match_graph ([n_unique_hashes,
+    max_frame, effective_qcap, 0...]) so match_fused_resolve re-routes
+    over-cap rows through the two-stage path unchanged.  B must be a
+    multiple of ndev (the Matcher pads with empty rows)."""
+    import jax.numpy as jnp
+
+    from audfprint_tpu.ops import pipeline as pipe
+
+    ndev = mesh.devices.size
+    assert tcfg.n_buckets % ndev == 0
+    n_local = tcfg.n_buckets // ndev
+
+    def _body(table, counts, hpi, plane, audio, lengths):
+        th, cnt = pipe.fingerprint_batch_compact(audio, lengths, pcfg)
+        qce = min(qcap, th.shape[1])
+        qt_l = th[:, :qce, 0]
+        qh_l = th[:, :qce, 1]
+        iota = jnp.arange(qce, dtype=jnp.int32)[None]
+        qv_l = iota < jnp.minimum(cnt, qce)[:, None]
+        maxt_l = jnp.max(jnp.where(qv_l, qt_l, 0), axis=1)
+        if ndev > 1:
+            ag = functools.partial(jax.lax.all_gather, axis_name="d",
+                                   axis=0, tiled=True)
+            qt, qh, qv = ag(qt_l), ag(qh_l), ag(qv_l)
+            cnt_g, maxt = ag(cnt), ag(maxt_l)
+        else:
+            qt, qh, qv, cnt_g, maxt = qt_l, qh_l, qv_l, cnt, maxt_l
+        packed = _rle_exchange_core(table, counts, hpi, plane, qt, qh, qv,
+                                    tcfg, mcfg, ndev, n_local, with_plane)
+        zero = jnp.zeros_like(cnt_g)
+        extra = jnp.stack([cnt_g, maxt, jnp.full_like(cnt_g, qce),
+                           zero, zero, zero, zero], axis=-1)
+        return jnp.concatenate([packed, extra[:, None, :]], axis=1)
+
+    if with_plane:
+        _local = _body
+        extra_spec = (PS("d", None),)
+    else:
+        def _local(table, counts, hpi, audio, lengths):
+            return _body(table, counts, hpi, None, audio, lengths)
+        extra_spec = ()
+
+    f = shard_map(_local, mesh=mesh,
+                  in_specs=(PS("d", None), PS("d"), PS()) + extra_spec
+                  + (PS("d", None), PS("d")),
                   out_specs=PS(),
                   check_vma=False)
     return jax.jit(f)

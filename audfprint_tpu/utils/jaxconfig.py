@@ -94,9 +94,16 @@ def patch_atomic_cache_writes() -> bool:
                 if cache_path.exists():
                     return
                 self._evict_if_needed(additional_size=len(val))
-                tmp = self.path / f"{key}.{os.getpid()}.tmp"
-                tmp.write_bytes(val)
-                os.replace(tmp, cache_path)
+                try:
+                    # os.replace requires a local POSIX path; a non-local
+                    # epath cache dir (gs://...) falls back to upstream's
+                    # direct write rather than raising at cache-write time
+                    # (ADVICE r4)
+                    tmp = self.path / f"{key}.{os.getpid()}.tmp"
+                    tmp.write_bytes(val)
+                    os.replace(tmp, cache_path)
+                except (OSError, ValueError):
+                    cache_path.write_bytes(val)
                 if self.eviction_enabled:
                     import time
                     ts = time.time_ns().to_bytes(8, "little")
