@@ -205,6 +205,16 @@ class Matcher:
     def _maybe_hpi_plane(self, table, hpi_dev, tcfg, ndev: int = 1):
         use = self.use_hpi_plane
         if use is None:
+            # backend gate (VERDICT r4 #10): the plane exists to turn the
+            # per-hit hpi[id] WORD-gather — element-at-a-time on TPU, ~10
+            # ms of a ~27 ms config-5 batch — into one more row-gather.
+            # CPU gathers don't have that penalty, and on a CPU mesh the
+            # plane measurably LOSES (it doubles the all_to_all payload;
+            # DESIGN.md round-4 ablation), so auto enables it on TPU only
+            # (a real-multi-chip TPU A/B is still pending — no hardware).
+            import jax
+            if jax.default_backend() != "tpu":
+                return None
             # per-DEVICE bytes: a sharded plane splits its rows like the
             # table, so each device holds 1/ndev of it
             plane_bytes = 4 * tcfg.n_buckets * tcfg.depth // max(1, ndev)

@@ -847,66 +847,118 @@ def _vote_rle(idk: jax.Array, dtbin_f: jax.Array,
         pair_ok = ((i3s[..., :-1] == i3s[..., 1:])
                    & (i3s[..., 1:] < N)
                    & (d3s[..., 1:] - d3s[..., :-1] <= 2 * W))
-        NP = qrows * (tcfg.depth - 1)
-        pid = jnp.where(pair_ok, i3s[..., 1:], N).reshape(B, NP)
-        dlo = d3s[..., :-1].reshape(B, NP)
-        dhi = d3s[..., 1:].reshape(B, NP)
-        wplus = pair_ok.reshape(B, NP).astype(jnp.int32)
-        M = 2 * NP + H
-        ids_m = jnp.concatenate([pid, pid, cid_c], axis=1)
-        # sort-operand count is the cost knob on TPU wide sorts, so the
-        # (bin, tag) key pair packs into ONE int32 (bins stay < 2^16 incl.
-        # the +/-W event offsets; tag = events-before-runs at equal bin)
-        # and (position, weight) into another ((pos << 2) | (w + 1) —
-        # pos < M < 2^29 at every reachable shape since Q <= qt_cap and
-        # depth <= 2^10): a 3-operand 2-key sort replaces the 5-operand
-        # 3-key original (round 4; measured on-chip in voting_probe)
-        bins_m = jnp.concatenate(
-            [(dhi - W) * 2, (dlo + W + 1) * 2, db_c * 2 + 1], axis=1)
-        if (M << 2) < (1 << 31):
-            posw_m = jnp.concatenate(
-                [((jnp.arange(2 * NP, dtype=jnp.int32)[None] + H) << 2)
-                 + jnp.concatenate([wplus + 1, 1 - wplus], axis=1),
-                 jnp.broadcast_to(
-                     (jnp.arange(H, dtype=jnp.int32)[None] << 2) + 1,
-                     (B, H))],
-                axis=1)
-            _im, _bm, posw_s = jax.lax.sort(
-                (ids_m, bins_m, posw_m), num_keys=2)
-            csum = jnp.cumsum((posw_s & 3) - 1, axis=1)
-            pos_srt = posw_s >> 2
-        else:
-            # unpacked fallback (ADVICE r4): at extreme shapes
-            # (qrows * depth * 3 >= 2^29 — a caller-raised mem budget or
-            # direct match_batch_sorted use) the (pos << 2) | (w + 1)
-            # packing would silently corrupt weights/positions; carry pos
-            # and weight as separate payload operands instead
-            pos_m = jnp.concatenate(
-                [jnp.broadcast_to(
-                    jnp.arange(2 * NP, dtype=jnp.int32)[None] + H,
-                    (B, 2 * NP)),
-                 jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None],
-                                  (B, H))], axis=1)
-            w_m = jnp.concatenate(
-                [wplus + 1, 1 - wplus,
-                 jnp.ones((B, H), jnp.int32)], axis=1)
-            _im, _bm, pos_srt, w_s = jax.lax.sort(
-                (ids_m, bins_m, pos_m, w_m), num_keys=2)
-            csum = jnp.cumsum(w_s - 1, axis=1)
-        # read the prefix sums back at the run positions with one more
-        # 1-key sort (runs carry pos < H, events H + i): the first H
-        # sorted slots are exactly the runs in compacted order — a
-        # (B, M) scatter would cost ~3x the whole vote tail (tail_probe).
-        # csum is a non-negative open-interval count <= NP (every pair's
-        # +1 precedes its -1 and each id's events net to zero), so when
-        # (pos, csum) packs into int32 the readback is a 1-operand sort.
-        cbits = max(1, NP.bit_length())
-        if (M << cbits) < (1 << 31):
-            packed = (pos_srt << cbits) | csum
-            d_cov = jax.lax.sort(packed)[:, :H] & ((1 << cbits) - 1)
-        else:
+        Dm1 = tcfg.depth - 1
+        NP = qrows * Dm1
+
+        def merged_cov(pid, dlo, dhi, wplus, NPx: int):
+            """Open-interval coverage of every compacted run bin by the
+            (B, NPx) pair events -> d_cov (B, H).  One merged event/run
+            sort + a 1-key prefix-sum readback sort (round 4)."""
+            M = 2 * NPx + H
+            ids_m = jnp.concatenate([pid, pid, cid_c], axis=1)
+            # sort-operand count is the cost knob on TPU wide sorts, so
+            # the (bin, tag) key pair packs into ONE int32 (bins stay
+            # < 2^16 incl. the +/-W event offsets; tag = events-before-
+            # runs at equal bin) and (position, weight) into another
+            # ((pos << 2) | (w + 1)): a 3-operand 2-key sort replaces
+            # the 5-operand 3-key original (round 4; on-chip
+            # voting_probe), with an unpacked fallback past int32 range
+            # (ADVICE r4)
+            bins_m = jnp.concatenate(
+                [(dhi - W) * 2, (dlo + W + 1) * 2, db_c * 2 + 1], axis=1)
+            if (M << 2) < (1 << 31):
+                posw_m = jnp.concatenate(
+                    [((jnp.arange(2 * NPx, dtype=jnp.int32)[None] + H)
+                      << 2)
+                     + jnp.concatenate([wplus + 1, 1 - wplus], axis=1),
+                     jnp.broadcast_to(
+                         (jnp.arange(H, dtype=jnp.int32)[None] << 2) + 1,
+                         (B, H))],
+                    axis=1)
+                _im, _bm, posw_s = jax.lax.sort(
+                    (ids_m, bins_m, posw_m), num_keys=2)
+                csum = jnp.cumsum((posw_s & 3) - 1, axis=1)
+                pos_srt = posw_s >> 2
+            else:
+                pos_m = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        jnp.arange(2 * NPx, dtype=jnp.int32)[None] + H,
+                        (B, 2 * NPx)),
+                     jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None],
+                                      (B, H))], axis=1)
+                w_m = jnp.concatenate(
+                    [wplus + 1, 1 - wplus,
+                     jnp.ones((B, H), jnp.int32)], axis=1)
+                _im, _bm, pos_srt, w_s = jax.lax.sort(
+                    (ids_m, bins_m, pos_m, w_m), num_keys=2)
+                csum = jnp.cumsum(w_s - 1, axis=1)
+            # read the prefix sums back at the run positions with one
+            # more 1-key sort (runs carry pos < H, events H + i): the
+            # first H sorted slots are exactly the runs in compacted
+            # order — a (B, M) scatter would cost ~3x the whole vote
+            # tail (tail_probe).  csum is a non-negative open-interval
+            # count <= NP, so when (pos, csum) packs into int32 the
+            # readback is a 1-operand sort.
+            cbits = max(1, NP.bit_length())
+            if (M << cbits) < (1 << 31):
+                packed = (pos_srt << cbits) | csum
+                return jax.lax.sort(packed)[:, :H] & ((1 << cbits) - 1)
             _pp, d_sorted = jax.lax.sort((pos_srt, csum), num_keys=1)
-            d_cov = d_sorted[:, :H]
+            return d_sorted[:, :H]
+
+        # Event compaction (round 5, VERDICT r4 #8): real duplicate
+        # pairs — the same query hash hitting the same track twice
+        # within 2W bins — are RARE, yet the merged sort paid for all
+        # 2*NP event slots (~2/3 of its 3H width was sentinels).  A
+        # cheap sort along the depth-1 axis (small-axis sorts are ~5x
+        # cheaper per element than row-wide ones) compacts each query
+        # row's ok pairs to the front; E_r slots per row ride the
+        # merged sort (width 2*qrows*E_r + H ~ 1.16H instead of 3H).
+        # Rows can hold up to depth-1 ok pairs, so a lax.cond falls
+        # back to the FULL-width path whenever any row overflows E_r —
+        # results are bit-identical either way (non-ok fillers carry
+        # weight 0 under id N; the ok-pair event multiset is exact).
+        E_r = min(Dm1, max(4, 2 * W + 4))
+        if E_r >= Dm1:
+            pid = jnp.where(pair_ok, i3s[..., 1:], N).reshape(B, NP)
+            dlo = d3s[..., :-1].reshape(B, NP)
+            dhi = d3s[..., 1:].reshape(B, NP)
+            wplus = pair_ok.reshape(B, NP).astype(jnp.int32)
+            d_cov = merged_cov(pid, dlo, dhi, wplus, NP)
+        else:
+            pid3 = jnp.where(pair_ok, i3s[..., 1:], N)
+            dlo3 = d3s[..., :-1]
+            dhi3 = d3s[..., 1:]
+            iota_d = jnp.arange(Dm1, dtype=jnp.int32)
+            okkey = jnp.where(pair_ok, iota_d, Dm1)
+            kb = (tcfg.maxtime + mcfg.qt_cap).bit_length()
+            if 2 * kb < 31:       # pack (dlo, dhi): one payload operand
+                dpk3 = (dlo3 << kb) | dhi3
+                ks, pid_s, dpk_s = jax.lax.sort(
+                    (okkey, pid3, dpk3), num_keys=1)
+                dlo_s = dpk_s >> kb
+                dhi_s = dpk_s & ((1 << kb) - 1)
+            else:
+                ks, pid_s, dlo_s, dhi_s = jax.lax.sort(
+                    (okkey, pid3, dlo3, dhi3), num_keys=1)
+            over = jnp.any(ks[..., E_r] < Dm1) if E_r < Dm1 else False
+            NPc = qrows * E_r
+
+            def compact_cov(_):
+                wp = (ks[..., :E_r] < Dm1).astype(jnp.int32)
+                return merged_cov(
+                    pid_s[..., :E_r].reshape(B, NPc),
+                    dlo_s[..., :E_r].reshape(B, NPc),
+                    dhi_s[..., :E_r].reshape(B, NPc),
+                    wp.reshape(B, NPc), NPc)
+
+            def full_cov(_):
+                return merged_cov(
+                    pid3.reshape(B, NP), dlo3.reshape(B, NP),
+                    dhi3.reshape(B, NP),
+                    pair_ok.reshape(B, NP).astype(jnp.int32), NP)
+
+            d_cov = jax.lax.cond(over, full_cov, compact_cov, None)
         u_c = c_cov - d_cov
 
         mode_bins, mode_oks, mode_filts = [], [], []

@@ -155,6 +155,32 @@ class Analyzer:
         pk = np.unique(np.concatenate(all_pk, axis=0), axis=0)
         return [(int(a), int(b)) for a, b in pk]
 
+    def samples_batch2peaks(self, signals: list) -> list:
+        """Batched peak extraction (the `precompute -K` path,
+        VERDICT r4 #9): list of sample arrays -> list of sorted unique
+        (frame, bin) peak tuples per file — identical to per-file
+        wavfile2peaks (same kernels, same np.unique union across
+        shifts), but batched through the device like the hashes path."""
+        import jax.numpy as jnp
+
+        out: list = [None] * len(signals)
+        cfg = self.config
+        for idxs, batch, lens in self.stage_groups(signals):
+            bins, valid = pipe.peaks_batch(
+                jnp.asarray(batch), jnp.asarray(lens), cfg)
+            bins = np.asarray(bins)
+            valid = np.asarray(valid)
+            for row, i in enumerate(idxs):
+                pairs = []
+                for s in range(cfg.shifts):
+                    tt, pp = np.nonzero(valid[row, s])
+                    pairs.append(np.stack(
+                        [tt, bins[row, s][tt, pp]], axis=1))
+                pk = (np.unique(np.concatenate(pairs, axis=0), axis=0)
+                      if pairs else np.zeros((0, 2), np.int64))
+                out[i] = [(int(a), int(b)) for a, b in pk]
+        return out
+
     def ingest(self, ht, filename: str):
         """Analyze one file and store it (reference ingest) -> (dur, nhash)."""
         hashes = self.wavfile2hashes(filename)

@@ -73,23 +73,11 @@ def _use_pallas(impl: str, T: int, cfg: PipelineConfig) -> bool:
             and cfg.maxpksperframe <= 8)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
-def fingerprint_batch(audio: jax.Array, lengths: jax.Array,
-                      cfg: PipelineConfig, impl: str = "auto"):
-    """Fingerprint a padded batch of audio.
-
-    Args:
-      audio:   (B, N) float32, zero-padded past per-file lengths
-      lengths: (B,) int32 true sample counts
-      impl:    "auto" | "xla" | "pallas" peak-picker selection
-
-    Returns:
-      times:  (B, L) int32 sorted unique (t, hash) rows' times
-      hashes: (B, L) int32
-      uniq:   (B, L) bool   validity mask (True rows are the output set)
-      counts: (B,) int32    number of unique hashes per file
-    """
-    B = audio.shape[0]
+def _peak_slots(audio: jax.Array, lengths: jax.Array,
+                cfg: PipelineConfig, impl: str = "auto"):
+    """Shared front half of fingerprint_batch and peaks_batch: shift
+    expansion, |rfft|, whitening, fwd+bwd decay-mask peak pruning ->
+    per-frame peak slots (bins, valid), each (B*shifts, T, maxpks)."""
     if audio.dtype == jnp.int16:
         # raw PCM staging: x * 2**-15 is an exponent shift — bit-identical
         # to the host buf_to_float conversion, at half the H2D bytes
@@ -111,7 +99,46 @@ def fingerprint_batch(audio: jax.Array, lengths: jax.Array,
         sgram = SP.whitened_spectrogram(audio_s, n_frames, cfg)
         mask = PK.find_peaks_mask(sgram, n_frames, cfg)
         bins, valid = PK.mask_to_slots(mask, cfg)
+    return bins, valid, T
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
+def peaks_batch(audio: jax.Array, lengths: jax.Array,
+                cfg: PipelineConfig, impl: str = "auto"):
+    """Batched peak extraction (the `precompute -K` device path,
+    VERDICT r4 #9): audio batch -> per-shift peak slots.
+
+    Returns (bins, valid) shaped (B, shifts, T, maxpks) int32/bool —
+    the host unions each file's (frame, bin) pairs across shifts with
+    np.unique, matching the serial wavfile2peaks exactly (peak sets are
+    identical; unique sorts)."""
+    B = audio.shape[0]
+    bins, valid, T = _peak_slots(audio, lengths, cfg, impl)
+    P_ = bins.shape[-1]
+    return (bins.reshape(B, cfg.shifts, T, P_),
+            valid.reshape(B, cfg.shifts, T, P_))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
+def fingerprint_batch(audio: jax.Array, lengths: jax.Array,
+                      cfg: PipelineConfig, impl: str = "auto"):
+    """Fingerprint a padded batch of audio.
+
+    Args:
+      audio:   (B, N) float32, zero-padded past per-file lengths
+      lengths: (B,) int32 true sample counts
+      impl:    "auto" | "xla" | "pallas" peak-picker selection
+
+    Returns:
+      times:  (B, L) int32 sorted unique (t, hash) rows' times
+      hashes: (B, L) int32
+      uniq:   (B, L) bool   validity mask (True rows are the output set)
+      counts: (B,) int32    number of unique hashes per file
+    """
+    B = audio.shape[0]
+    bins, valid, _T = _peak_slots(audio, lengths, cfg, impl)
     times, hashes, lvalid = L.slots_to_hashes(bins, valid, cfg)
+    T = _T
 
     # flatten all shift rows of one file together, then sort + dedup
     flat_t = times.reshape(B, -1)

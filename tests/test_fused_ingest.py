@@ -166,6 +166,71 @@ def test_cli_device_store_single(rng, tmp_path):
     assert l1 == l2
 
 
+def test_exact_count_event_overflow_matches_oracle():
+    """The round-5 exact-count event compaction falls back to the
+    full-width path when one query hash has more duplicate pairs than
+    the static E_r cap — this input forces that overflow (one hash
+    stored 24x for one track at consecutive times) and must still agree
+    with the oracle exactly; a sparse control stays on the compacted
+    path and must agree too."""
+    import jax.numpy as jnp
+
+    from audfprint_tpu.index import device_table as DT
+    from audfprint_tpu.match import voting
+    from audfprint_tpu.oracle import match as om
+
+    tcfg = DT.TableConfig(hashbits=12, depth=32, maxtimebits=10, seed=0)
+    for dup in (24, 2):            # overflow (24 > E_r=8) and compacted
+        ht = HashTable(hashbits=tcfg.hashbits, depth=tcfg.depth,
+                       maxtime=tcfg.maxtime, seed=tcfg.seed)
+        rows = [np.stack([100 + np.arange(dup),
+                          np.full(dup, 1234)], axis=1)]
+        rng2 = np.random.default_rng(9)
+        extra = rng2.choice(1 << 12, size=12, replace=False)
+        rows.append(np.stack([110 + np.arange(12), extra], axis=1))
+        ht.store_vectorized("t0", np.concatenate(rows).astype(np.int64))
+        q = np.concatenate([np.stack([[10], [1234]], axis=1),
+                            np.stack([20 + np.arange(12), extra],
+                                     axis=1)]).astype(np.int64)
+        mp = P.MatcherParams(max_returns=2, exact_count=True,
+                             threshcount=2, search_depth=8)
+        want = om.match_hashes(ht, q, mp)
+        mcfg = voting.MatchConfig.from_params(mp, qt_cap=128, n_ids_cap=16)
+        Q = 64
+        qt = np.zeros((1, Q), np.int32)
+        qh = np.zeros((1, Q), np.int32)
+        qv = np.zeros((1, Q), bool)
+        qt[0, : len(q)] = q[:, 0]
+        qh[0, : len(q)] = q[:, 1]
+        qv[0, : len(q)] = True
+        hpi = np.zeros(16, np.int32)
+        hpi[: len(ht.hashesperid)] = ht.hashesperid
+        out = np.asarray(voting.match_batch_packed(
+            jnp.asarray(ht.table), jnp.asarray(ht.counts),
+            jnp.asarray(hpi), jnp.asarray(qt), jnp.asarray(qh),
+            jnp.asarray(qv), tcfg, mcfg, "sorted"))
+        n = int(out[0, :, 6].sum())
+        got = out[0, :n, :6].astype(np.int64)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_batched_peaks_match_serial(rng, tmp_path):
+    """samples_batch2peaks (the batched `precompute -K` path, VERDICT r4
+    #9) returns exactly wavfile2peaks' sorted unique peak sets, shifts
+    included."""
+    an = Analyzer(shifts=2)
+    sigs = _clips(rng, 3)
+    paths = []
+    for i, x in enumerate(sigs):
+        p = tmp_path / f"pk{i}.wav"
+        audio_write_wav(str(p), x, SR)
+        paths.append(str(p))
+    batched = an.samples_batch2peaks(sigs)
+    for p, got in zip(paths, batched):
+        want = an.wavfile2peaks(p)
+        assert got == want
+
+
 def test_fused_mesh_serving_matches_two_stage(rng):
     """The fused fingerprint+match shard_map graph (VERDICT r4 #3) is
     bit-identical to the two-stage sharded matcher, including the
