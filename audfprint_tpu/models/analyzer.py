@@ -191,12 +191,13 @@ class Analyzer:
 
     def _should_stream(self, filename: str) -> bool:
         """True when this file exceeds stream_above_sec and is streamable
-        (PCM WAV at the analysis rate) — header probe only, no decode."""
+        (any-rate PCM WAV; wrong rates stream through chunked polyphase
+        resampling) — header probe only, no decode."""
         if not self.stream_above_sec or not filename.lower().endswith(".wav"):
             return False
         from audfprint_tpu.models import streaming as STM
         try:
-            src = STM.WavPCMSource(filename, self.target_sr)
+            src = STM.open_stream_source(filename, self.target_sr)
         except STM.StreamUnsupported:
             return False
         dur = src.n_samples / float(self.target_sr)

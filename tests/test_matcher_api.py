@@ -237,13 +237,23 @@ def P_next_pow2_floor(n: int) -> int:
     return 1 << max(0, (int(n) - 1).bit_length() - 1)
 
 
-def test_fused_ineligible_on_mesh(setup):
-    """Sharded matchers return None from the fused async (callers use the
-    two-stage mesh path)."""
+def test_fused_ineligible_cases(setup):
+    """The fused async declines (returns None) exactly when documented —
+    a pinned hist core, or groups whose summed voting footprint exceeds
+    the memory envelope — including on a mesh, where the fused shard_map
+    path is otherwise ELIGIBLE since round 5 (VERDICT r4 #3; the
+    eligible-mesh bit-identity itself is pinned by
+    test_fused_ingest.test_fused_mesh_serving_matches_two_stage)."""
     import jax
     d, analyzer, ht = setup
-    if len(jax.devices()) < 2:
-        pytest.skip("needs a multi-device mesh")
-    m = Matcher(ndev=2, verbose=0)
     sig = [synth_audio(np.random.default_rng(3), dur_sec=4.0)]
-    assert m.match_samples_fused_async(analyzer, ht, sig) is None
+    if len(jax.devices()) >= 2:
+        m = Matcher(ndev=2, verbose=0)
+        m.force_core = "hist"
+        assert m.match_samples_fused_async(analyzer, ht, sig) is None
+    m1 = Matcher(verbose=0)
+    m1.force_core = "hist"
+    assert m1.match_samples_fused_async(analyzer, ht, sig) is None
+    m2 = Matcher(verbose=0)
+    m2.mem_budget_bytes = 1     # sum-of-groups envelope can never fit
+    assert m2.match_samples_fused_async(analyzer, ht, sig) is None

@@ -166,6 +166,98 @@ def test_stream_unsupported_inputs(tmp_path):
         STM.WavPCMSource(str(q), SR)
 
 
+@pytest.mark.parametrize("sr_in", [22050, 44100, 48000, 8000])
+def test_resampled_source_bit_identical_to_whole_file(tmp_path, sr_in):
+    """ResampledWavSource ranged reads == slicing the whole-file polyphase
+    resample: the FIR-phase-aligned halo makes every chunked dot product
+    see exactly the taps the whole-file call sees."""
+    from audfprint_tpu.utils.audio import _resample
+    rng = np.random.default_rng(11)
+    x = (0.5 * rng.standard_normal(sr_in * 3)).clip(-1, 1).astype(np.float32)
+    p = tmp_path / f"in{sr_in}.wav"
+    audio_io.audio_write_wav(str(p), x, sr_in)
+    x_disk, _sr = audio_io._read_wav(str(p))
+    want = _resample(x_disk, sr_in, SR)
+    src = STM.ResampledWavSource(str(p), SR)
+    assert src.n_samples == len(want)
+    # random chunk grid incl. both edges
+    bounds = np.sort(rng.choice(len(want) - 1, 5, replace=False) + 1)
+    pts = [0, *bounds.tolist(), len(want)]
+    got = np.concatenate([src.read(a, b - a) for a, b in zip(pts[:-1], pts[1:])])
+    src.close()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wrong_rate_wav_streams(tmp_path):
+    """Wrong-rate PCM WAVs stream through chunked resampling with the same
+    chunk-size invariance; hashes match the in-memory batched path's
+    sanity envelope (the whitening mean is the only order-sensitive
+    scalar, as for rate-matched input)."""
+    x44 = _synth_music(8.0, seed=6)
+    p = tmp_path / "song44.wav"
+    audio_io.audio_write_wav(str(p), x44, 44100)
+    cfg = PipelineConfig()
+    assert isinstance(STM.open_stream_source(str(p), SR),
+                      STM.ResampledWavSource)
+    h_a, d_a = STM.wavfile2hashes_streaming(str(p), cfg, SR, chunk_frames=128)
+    h_b, d_b = STM.wavfile2hashes_streaming(str(p), cfg, SR,
+                                            chunk_frames=1 << 14)
+    assert d_a == d_b
+    np.testing.assert_array_equal(h_a, h_b)
+    assert len(h_a) > 30
+    # sanity vs the batched path on the same (whole-file-resampled) audio
+    from audfprint_tpu.utils.audio import _resample
+    want = _single_batch_hashes(_resample(x44, 44100, SR), cfg)
+    a, b = set(map(tuple, h_a)), set(map(tuple, want))
+    assert len(a & b) / max(len(a), len(b)) > 0.4
+
+
+def test_analyzer_streams_wrong_rate(tmp_path):
+    """_should_stream accepts wrong-rate WAVs now that the source
+    resamples; the Analyzer streamed result equals the module driver's."""
+    from audfprint_tpu.models.analyzer import Analyzer
+    x = _synth_music(6.0, seed=8)
+    p = tmp_path / "long44.wav"
+    audio_io.audio_write_wav(str(p), x, 22050)
+    an = Analyzer()
+    an.stream_above_sec = 2.0
+    an.stream_chunk_frames = 256
+    assert an._should_stream(str(p))
+    got = an.wavfile2hashes(str(p))
+    want, _ = STM.wavfile2hashes_streaming(str(p), an.config, SR,
+                                           chunk_frames=256)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_silence_triggers_exact_floor_correction(tmp_path):
+    """Digital silence produces |STFT| entries below the final whitening
+    floor gmax/1e6: the fused integer-stats pass must flag those chunks
+    and correct their summands to log(floor), landing on EXACTLY the mean
+    the v1-grade f64 logm accumulation computes — and results must stay
+    chunk-size invariant through the correction."""
+    x = _synth_music(6.0, seed=9)
+    x[:SR] = 0.0                      # 1 s of digital silence up front
+    x[3 * SR: 3 * SR + SR // 2] = 0.0
+    p = tmp_path / "gappy.wav"
+    audio_io.audio_write_wav(str(p), x, SR)
+    cfg = PipelineConfig()
+
+    src = STM.open_stream_source(str(p), SR)
+    try:
+        rd = STM._ChunkReader(src, cfg, 128)
+        gmax, mean = STM._stats_pass(rd, cfg)
+        want_mean = STM._exact_mean_fallback(rd, cfg, gmax)
+        np.testing.assert_array_equal(mean, want_mean)
+    finally:
+        src.close()
+
+    h_a, _ = STM.wavfile2hashes_streaming(str(p), cfg, SR, chunk_frames=128)
+    h_b, _ = STM.wavfile2hashes_streaming(str(p), cfg, SR,
+                                          chunk_frames=1 << 14)
+    np.testing.assert_array_equal(h_a, h_b)
+    assert len(h_a) > 30
+
+
 def test_bwd_prune_sparse_equals_dense():
     """Sparse backward prune == the dense oracle on the same fwd peaks."""
     from audfprint_tpu.oracle import analyze as oa
