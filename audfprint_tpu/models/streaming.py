@@ -435,6 +435,62 @@ def _peaks_pass(rd: _ChunkReader, cfg: PipelineConfig, gmax: np.ndarray,
              cat(vals[s], np.float32), last_row[s]) for s in range(S)]
 
 
+#: None = auto (device pairing off the cpu backend, host oracle on cpu —
+#: the kernel's static (Tp, A) pads cost more than the tiny host loop at
+#: CPU speeds); tests override to pin device/host equality explicitly.
+PAIR_ON_DEVICE: bool | None = None
+
+
+def _pow2(n: int, lo: int = 128) -> int:
+    return max(lo, 1 << (max(1, int(n)) - 1).bit_length())
+
+
+def _pair_on_device(kept: list, Tmax: int, cfg: PipelineConfig) -> list:
+    """Pair the FINAL kept peak streams on device: one batched
+    ops/streaming.pair_kept_slots dispatch for all shifts, one packed
+    fetch (anchor times are already on host).  Content-identical to the
+    oracle peaks2landmarks/landmarks2hashes pairing (the kernel replicates
+    its (dt asc, partner-bin asc, maxpairsperpeak) scan exactly —
+    tests/test_streaming.py pins equality against the host path).
+
+    kept: per shift (t ascending, bin ascending within frame) kept-peak
+    arrays, or None for inactive shifts.  Returns per ACTIVE shift an
+    (n, 2) int32 (t, hash) row array, in shift order."""
+    import jax.numpy as jnp
+
+    K = cfg.maxpksperframe
+    act = [x for x in kept if x is not None and len(x[0])]
+    if not act:
+        return []
+    Tp = _pow2(Tmax)
+    A = _pow2(max(len(x[0]) for x in act))
+    S = len(kept)
+    slots = np.zeros((S, Tp, K), np.int16)
+    anchors = np.zeros((S, A), np.int32)
+    n_a = [0] * S
+    for s, x in enumerate(kept):
+        if x is None or len(x[0]) == 0:
+            continue
+        t, p = x
+        slot = np.arange(len(t)) - np.searchsorted(t, t)  # rank in frame
+        slots[s, t, slot] = p.astype(np.int16) + 1
+        anchors[s, : len(t)] = (t * K + slot).astype(np.int32)
+        n_a[s] = len(t)
+    g = np.asarray(ST.pair_kept_slots(
+        jnp.asarray(slots), jnp.asarray(anchors), cfg))
+    out = []
+    for s in range(S):
+        n = n_a[s]
+        if not n:
+            continue
+        gs = g[s, :n]                                   # (n, fanout)
+        lv = (gs >> 20) > 0
+        tt = np.broadcast_to(kept[s][0][:, None], gs.shape)[lv]
+        out.append(np.stack([tt, (gs & 0xFFFFF)[lv]],
+                            axis=1).astype(np.int32))
+    return out
+
+
 def _analyzer_params(cfg: PipelineConfig) -> P.AnalyzerParams:
     return P.AnalyzerParams(
         density=cfg.density, n_fft=cfg.n_fft, n_hop=cfg.n_hop,
@@ -468,16 +524,31 @@ def wavfile2hashes_streaming(filename: str, cfg: PipelineConfig,
             mean = np.asarray([s[1] for s in stats], np.float32)
 
         ap = _analyzer_params(cfg)
-        all_h = []
         per_shift = _peaks_pass(rd, cfg, gmax, mean)
+        kept: list = []
         for s in range(S):
             if not (rd.T_s[s] > 0 and gmax[s] > 0):
-                continue        # empty/all-zero shift emits no peaks
+                kept.append(None)   # empty/all-zero shift emits no peaks
+                continue
             pk_t, pk_pos, pk_val, lrow = per_shift[s]
-            keep = oa.bwd_prune_sparse(int(rd.T_s[s]), pk_t, pk_pos,
-                                       pk_val, lrow, ap)
-            pklist = list(zip(pk_t[keep].tolist(), pk_pos[keep].tolist()))
-            all_h.append(oa.landmarks2hashes(oa.peaks2landmarks(pklist, ap)))
+            sel = oa.bwd_prune_sparse(int(rd.T_s[s]), pk_t, pk_pos,
+                                      pk_val, lrow, ap)
+            kept.append((pk_t[sel], pk_pos[sel]))
+
+        use_dev = PAIR_ON_DEVICE
+        if use_dev is None:
+            import jax
+            use_dev = jax.default_backend() != "cpu"
+        if use_dev:
+            all_h = _pair_on_device(kept, int(rd.T_s.max()), cfg)
+        else:
+            all_h = []
+            for x in kept:
+                if x is None or not len(x[0]):
+                    continue
+                pklist = list(zip(x[0].tolist(), x[1].tolist()))
+                all_h.append(oa.landmarks2hashes(
+                    oa.peaks2landmarks(pklist, ap)))
 
         if not all_h:
             return np.zeros((0, 2), np.int32), dur

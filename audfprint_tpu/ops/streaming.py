@@ -284,6 +284,34 @@ def unpack_fwd_peaks(p: np.ndarray, T: int, k: int):
     return (w & 0x1FF).astype(np.int32), (w >> 9).astype(bool), vals, lrow
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def pair_kept_slots(slots: jax.Array, anchors: jax.Array,
+                    cfg: PipelineConfig) -> jax.Array:
+    """Landmark pairing of the FINAL (post-backward-prune) peak stream on
+    device — replaces the streamed driver's host oracle pairing loop
+    (O(peaks * targetdt * k) pure Python; ~minutes of tail for a 10 h
+    file) with one dispatch through the batch path's exact pairing kernel
+    (ops/landmarks.slots_to_hashes, oracle-parity pinned by its tests).
+
+    slots:   (S, Tp, K) int16 — kept peak bin + 1 per frame in ascending
+             bin order, 0 = empty slot (frames past the file are all 0,
+             which correctly yields no partners past the end).
+    anchors: (S, A) int32 flat t*K + slot indices of the kept peaks
+             (padding gathers garbage rows the host slices off).
+    Returns (S, A, fanout) int32: packed 20-bit hash | valid << 20.
+    The anchor times are already known on host (they ARE the kept peak
+    times), so this is the only fetch."""
+    from audfprint_tpu.ops import landmarks as L
+
+    bins = jnp.maximum(slots.astype(jnp.int32) - 1, 0)
+    valid = slots > 0
+    _times, hashes, lvalid = L.slots_to_hashes(bins, valid, cfg)
+    S, Tp, K = slots.shape
+    flat = (hashes | (lvalid.astype(jnp.int32) << 20)).reshape(
+        S, Tp * K, cfg.maxpairsperpeak)
+    return jnp.take_along_axis(flat, anchors[:, :, None], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "first"))
 def chunk_fwd_peaks(audio: jax.Array, n_frames: jax.Array, gmax: jax.Array,
                     mean: jax.Array, xprev: jax.Array, yprev: jax.Array,

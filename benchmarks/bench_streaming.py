@@ -104,8 +104,7 @@ def main() -> None:
 
     if not args.skip_batch:
         from audfprint_tpu.models.analyzer import Analyzer
-        an = Analyzer()
-        an.config = cfg
+        an = Analyzer(shifts=args.shifts)
         an.stream_above_sec = 0.0  # force the in-memory batched path
         t0 = time.perf_counter()
         hb = an.wavfile2hashes(wav)

@@ -258,6 +258,29 @@ def test_silence_triggers_exact_floor_correction(tmp_path):
     assert len(h_a) > 30
 
 
+def test_device_pairing_equals_host_oracle(wav30):
+    """The streamed tail's device pairing (pair_kept_slots through the
+    batch path's slots_to_hashes) emits exactly the host oracle
+    peaks2landmarks/landmarks2hashes rows — full streamed results equal
+    under both PAIR_ON_DEVICE settings, at two chunk sizes."""
+    path, _x = wav30
+    cfg = PipelineConfig(shifts=2)
+    try:
+        STM.PAIR_ON_DEVICE = False
+        want, _ = STM.wavfile2hashes_streaming(path, cfg, SR,
+                                               chunk_frames=256)
+        STM.PAIR_ON_DEVICE = True
+        got, _ = STM.wavfile2hashes_streaming(path, cfg, SR,
+                                              chunk_frames=256)
+        got2, _ = STM.wavfile2hashes_streaming(path, cfg, SR,
+                                               chunk_frames=1 << 14)
+    finally:
+        STM.PAIR_ON_DEVICE = None
+    assert len(want) > 100
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got2, want)
+
+
 def test_bwd_prune_sparse_equals_dense():
     """Sparse backward prune == the dense oracle on the same fwd peaks."""
     from audfprint_tpu.oracle import analyze as oa
