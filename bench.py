@@ -138,7 +138,7 @@ def measure_oracle(dur_sec: float = 10.0, repeats: int = 3):
 
 
 def measure_end_to_end(n_files: int = 64, dur_sec: float = 20.0,
-                       warm: bool = True):
+                       warm: bool = True, extra_flags: tuple = ()):
     """Honest CLI ingest wall time: WAV decode + H2D + device pipeline +
     host store + .pklz save, through `cli.main` exactly as a user runs it.
 
@@ -172,12 +172,13 @@ def measure_end_to_end(n_files: int = 64, dur_sec: float = 20.0,
             audio_write_wav(p, x, sr)
             wavs.append(p)
         if warm:
-            cli_main(["new", "-d", os.path.join(d, "warm.pklz"),
+            cli_main(["new", *extra_flags,
+                      "-d", os.path.join(d, "warm.pklz"),
                       "-o", os.devnull, *wavs[:16]])
         db = os.path.join(d, "db.pklz")
         metrics = os.path.join(d, "m.json")
         t0 = time.time()
-        cli_main(["new", "-d", db, "-o", os.devnull,
+        cli_main(["new", *extra_flags, "-d", db, "-o", os.devnull,
                   "--json-metrics", metrics, *wavs])
         elapsed = time.time() - t0
         stages = json.load(open(metrics)).get("stage_seconds", {})
@@ -255,6 +256,16 @@ def main():
         out["end_to_end_as_per_sec"] = round(e2e, 1)
         out["end_to_end_stages_s"] = {k: round(v, 2)
                                       for k, v in stages.items()}
+        # round-5 fused fingerprint->store ingest graph (--device-store):
+        # hashes never leave the device, only per-file counts return —
+        # same WAV set, table bit-identical to the host-store path
+        # (tests/test_fused_ingest.py); tolerate failure so the headline
+        # line still prints
+        try:
+            e2e_ds, _ = measure_end_to_end(extra_flags=("--device-store",))
+            out["end_to_end_device_store_as_per_sec"] = round(e2e_ds, 1)
+        except Exception as e:  # pragma: no cover - device-environment only
+            out["end_to_end_device_store_error"] = repr(e)[:200]
     # matching throughput rides the same artifact (the fingerprint number
     # alone under-reports the retrieval side); tolerate failure — the
     # headline line must print even if the match graph can't build here

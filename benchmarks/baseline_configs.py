@@ -207,20 +207,43 @@ def config4(scale):
         t0 = time.time()
         pre = os.path.join(d, "pre")
         main(["precompute", "--precompdir", pre, "-o", os.devnull, *wavs])
+        t_pre = time.time() - t0
         afpts = [os.path.join(pre, w.lstrip("/")).replace(".wav", ".afpt")
                  for w in wavs]
         half = len(afpts) // 2
-        db1, db2 = os.path.join(d, "a.pklz"), os.path.join(d, "b.pklz")
-        main(["new", "-d", db1, "-o", os.devnull, *afpts[:half]])
-        main(["new", "-d", db2, "-o", os.devnull, *afpts[half:]])
-        dbm = os.path.join(d, "m.pklz")
-        main(["newmerge", "-d", dbm, "-o", os.devnull, db1, db2])
-        elapsed = time.time() - t0
-        from audfprint_tpu.index.hash_table import HashTable
-        ht = HashTable(dbm)
-        return {"config": 4, "tracks": n,
-                "total_hashes": ht.totalhashes(),
-                "pipeline_audio_sec_per_sec": round(n * dur / elapsed, 1)}
+        out = {"config": 4, "tracks": n,
+               "precompute_audio_sec_per_sec": round(n * dur / t_pre, 1)}
+        # A/B the new+merge tail: default host store vs the round-5 fused
+        # fingerprint->store device graph (--device-store); the merged
+        # tables must be bit-identical
+        totals = {}
+        for variant, flags in [("host", []), ("device", ["--device-store"])]:
+            t1 = time.time()
+            db1 = os.path.join(d, f"a_{variant}.pklz")
+            db2 = os.path.join(d, f"b_{variant}.pklz")
+            main(["new", *flags, "-d", db1, "-o", os.devnull, *afpts[:half]])
+            main(["new", *flags, "-d", db2, "-o", os.devnull, *afpts[half:]])
+            dbm = os.path.join(d, f"m_{variant}.pklz")
+            main(["newmerge", "-d", dbm, "-o", os.devnull, db1, db2])
+            t_tail = time.time() - t1
+            import hashlib
+
+            from audfprint_tpu.index.hash_table import HashTable
+            ht = HashTable(dbm)
+            totals[variant] = (ht.totalhashes(),
+                               hashlib.sha1(ht.table.tobytes()).hexdigest(),
+                               hashlib.sha1(ht.counts.tobytes()).hexdigest())
+            del ht
+            out[f"new_merge_{variant}_audio_sec_per_sec"] = round(
+                n * dur / t_tail, 1)
+            out[f"pipeline_{variant}_audio_sec_per_sec"] = round(
+                n * dur / (t_pre + t_tail), 1)
+        out["total_hashes"] = totals["host"][0]
+        out["variants_equal"] = totals["host"] == totals["device"]
+        # headline field keeps its historical meaning (precompute + default
+        # new/merge tail)
+        out["pipeline_audio_sec_per_sec"] = out["pipeline_host_audio_sec_per_sec"]
+        return out
 
 
 def config5(scale, idbits=0):

@@ -18,7 +18,9 @@ def test_bench_main_json_contract(monkeypatch, capsys):
     monkeypatch.setattr(bench, "measure_device",
                         lambda: (12345.6, 789, attrib))
     monkeypatch.setattr(
-        bench, "measure_end_to_end", lambda: (234.5, {"decode": 1.0}))
+        bench, "measure_end_to_end",
+        lambda extra_flags=(): (345.6 if extra_flags else 234.5,
+                                {"decode": 1.0}))
     monkeypatch.setattr(bench, "measure_match", lambda: (456.7, 1.0))
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     bench.main()
@@ -31,6 +33,7 @@ def test_bench_main_json_contract(monkeypatch, capsys):
     assert out["vs_baseline"] == round(12345.6 / 30.0, 2)
     assert out["fingerprint_attrib_ms"] == attrib
     assert out["end_to_end_as_per_sec"] == 234.5
+    assert out["end_to_end_device_store_as_per_sec"] == 345.6
     assert out["match_queries_per_sec"] == 456.7
     assert out["match_top1_self"] == 1.0
     assert out["match_bench_kind"] == "synthetic-table-device-rate"
