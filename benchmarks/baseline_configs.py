@@ -178,9 +178,18 @@ def config3(scale):
             # re-fingerprints each query at len(sweep_factors(4.0)) == 8
             # extra speed corrections and matches 9x the batch rows, so
             # sweep4_queries_per_sec INCLUDES variant fingerprinting.
+            # chunked (8 queries -> 8 + 64 = 72 sweep rows per dispatch):
+            # one 288-row voting graph at full-scale shapes SIGKILLs this
+            # environment's remote tpu_compile_helper (compile-time
+            # memory); every chunk shares ONE compiled graph, and the
+            # per-query cost is unchanged — sweep rows scale with the
+            # chunk, not the total
             t0 = time.time()
-            best = m.match_samples_sweep(an4, ht, queries, 4.0,
-                                         base_hashes=qh)
+            best = []
+            for c in range(0, nq, 8):
+                best.extend(m.match_samples_sweep(
+                    an4, ht, queries[c: c + 8], 4.0,
+                    base_hashes=qh[c: c + 8]))
             dts = time.time() - t0
             sp, sr_ = _pr([rr for rr, _f, _nh in best], truths)
             curve[name]["sweep4_precision"] = round(sp, 3)
