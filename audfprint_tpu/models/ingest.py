@@ -376,26 +376,72 @@ class DeviceIngest:
     def finalize(self) -> None:
         """Download device state into the host table (persistence mirror).
 
-        Sparse fetch: counts first, then only the occupied slot columns
-        (table[:, :kmax]) — a fresh ingest's kmax is far below depth, so
-        the D2H bytes track the stored hashes, not the table capacity."""
+        The stored hashes are tiny relative to the table's capacity (a
+        fresh ingest of F files holds ~F*density*dur entries in a
+        n_buckets*depth grid), so fetching even the occupied slot
+        COLUMNS (table[:, :kmax]) ships mostly zeros: ~64-128 MB over a
+        ~27 MB/s relay, measured 5-16 s of the CLI `store` stage.  The
+        fix is a device-side compaction (_compact_slots): occupied slots
+        scatter bucket-major into a dense S-word buffer whose layout the
+        host re-derives from `counts` alone, so the D2H bytes track the
+        STORED HASHES (~4 B/entry), not the capacity.  Falls back to the
+        column-slice fetch when the table is dense enough that the slice
+        is within 4x of the packed size."""
         counts = np.asarray(self.counts)
         kmax = int(min(self.cfg.depth, counts.max())) if counts.size else 0
-        if kmax >= self.cfg.depth:
+        k = min(self.cfg.depth, max(1, P.next_pow2(max(1, kmax), 1)))
+        occ = np.minimum(counts, self.cfg.depth).astype(np.int64)
+        total = int(occ.sum())
+        words = 2 if self.cfg.wide else 1
+        S = max(1, P.next_pow2(max(1, total), 1))
+        shape = ((self.cfg.n_buckets, self.cfg.depth, 2)
+                 if self.cfg.wide else
+                 (self.cfg.n_buckets, self.cfg.depth))
+        if S * 4 <= self.cfg.n_buckets * k:
+            packed = np.asarray(_compact_slots(
+                self.table, self.counts, k=k, S=S, wide=self.cfg.wide))
+            tab = np.zeros(shape, np.uint32)
+            rowb = np.repeat(np.arange(self.cfg.n_buckets), occ)
+            off = np.cumsum(occ) - occ
+            col = np.arange(total) - off[rowb]
+            if self.cfg.wide:
+                tab[rowb, col, 0] = packed[0][:total]
+                tab[rowb, col, 1] = packed[1][:total]
+            else:
+                tab[rowb, col] = packed[0][:total]
+        elif kmax >= self.cfg.depth:
             tab = np.asarray(self.table)
         else:
-            k = max(1, P.next_pow2(max(1, kmax), 1))
-            tab_k = np.asarray(_slice_depth(self.table, min(
-                k, self.cfg.depth)))
-            shape = ((self.cfg.n_buckets, self.cfg.depth, 2)
-                     if self.cfg.wide else
-                     (self.cfg.n_buckets, self.cfg.depth))
+            tab_k = np.asarray(_slice_depth(self.table, k))
             tab = np.zeros(shape, np.uint32)
             tab[:, : tab_k.shape[1]] = tab_k
         self.ht.table = DT.join_wide(tab) if self.cfg.wide else tab
         self.ht.counts = counts
         self.ht.dirty = True
         self.ht.rev += 1
+
+
+@functools.partial(jax.jit, static_argnames=("k", "S", "wide"))
+def _compact_slots(table, counts, k: int, S: int, wide: bool):
+    """Pack every occupied slot of table[:, :k] bucket-major into a dense
+    (words, S) uint32 buffer.  Layout contract with finalize(): entry j
+    belongs to the bucket b with off[b] <= j < off[b] + occ[b] where
+    occ = min(counts, k) and off = exclusive-cumsum(occ) — i.e. fully
+    derivable from `counts` on host, so ONLY the packed values cross the
+    wire."""
+    occ = jnp.minimum(counts, k).astype(jnp.int32)
+    off = jnp.cumsum(occ) - occ
+    slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+    mask = slot < occ[:, None]
+    pos = jnp.where(mask, off[:, None] + slot, S).reshape(-1)
+    if wide:
+        lo = jnp.zeros((S,), jnp.uint32).at[pos].set(
+            table[:, :k, 0].reshape(-1), mode="drop")
+        hi = jnp.zeros((S,), jnp.uint32).at[pos].set(
+            table[:, :k, 1].reshape(-1), mode="drop")
+        return jnp.stack([lo, hi])
+    return jnp.zeros((S,), jnp.uint32).at[pos].set(
+        table[:, :k].reshape(-1), mode="drop")[None]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -77,12 +77,22 @@ def build_fixture(d: str, n_tracks: int, track_dur: float, n_queries: int,
 
 def serve_and_time(db: str, warm: list[str], queries: list[str],
                    flood: list[str] | None = None,
-                   batchsize: int = 64) -> dict:
+                   batchsize: int = 64, ndev: int = 0) -> dict:
     env = dict(os.environ)
+    cmd = [sys.executable, "-m", "audfprint_tpu", "match", "-d", db,
+           "--listen", "--batchsize", str(batchsize)]
+    if ndev > 1:
+        # mesh serving (VERDICT r4 #3): force an ndev-device virtual CPU
+        # mesh in the SERVER process only (the fixture build stays on the
+        # ambient platform) and route matching through --ndev, which picks
+        # the fused sharded serving graph (sharded_fused_match_cached)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count={ndev}"
+                            ).strip()
+        cmd += ["--ndev", str(ndev)]
     proc = subprocess.Popen(
-        [sys.executable, "-m", "audfprint_tpu", "match", "-d", db,
-         "--listen", "--batchsize", str(batchsize)],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env)
 
     def roundtrip(q: str) -> float:
@@ -165,6 +175,10 @@ def main():
     ap.add_argument("--batchsize", type=int, default=64,
                     help="server-side --batchsize (dynamic-batching drain "
                          "cap)")
+    ap.add_argument("--ndev", type=int, default=0,
+                    help=">1 = serve over an N-device virtual CPU mesh "
+                         "(fused sharded serving graph); 0 = ambient "
+                         "platform, single device")
     args = ap.parse_args()
     import audfprint_tpu.utils.jaxconfig as jc
     jc.setup()
@@ -172,9 +186,10 @@ def main():
         db, warm, queries, flood = build_fixture(
             d, args.tracks, args.track_dur, args.queries, args.q_dur,
             args.db_format, args.warm, args.flood)
-        out = serve_and_time(db, warm, queries, flood, args.batchsize)
+        out = serve_and_time(db, warm, queries, flood, args.batchsize,
+                             args.ndev)
     out.update({"bench": "serving_latency", "tracks": args.tracks,
-                "db_format": args.db_format})
+                "db_format": args.db_format, "ndev": args.ndev})
     print(json.dumps(out))
 
 

@@ -266,3 +266,41 @@ def test_fused_mesh_serving_matches_two_stage(rng):
         rows_f2, _ = fused2
         for rf, rt in zip(rows_f2, rows_t):
             np.testing.assert_array_equal(rf, rt)
+
+
+@pytest.mark.parametrize("idbits", [0, 24])
+def test_finalize_compact_equals_slice(idbits):
+    """The compacted finalize download (round-5: D2H bytes track stored
+    hashes, not capacity) must reproduce the column-slice fetch exactly,
+    for packed and wide tables, including over-full buckets."""
+    import jax.numpy as jnp
+
+    from audfprint_tpu.index import device_table as DT
+    from audfprint_tpu.models import ingest as ING
+
+    cfg = DT.TableConfig(hashbits=10, depth=8, idbits=idbits)
+    rng = np.random.default_rng(7)
+    table, counts = DT.empty_table(cfg)
+    B, L = 8, 256            # ~2k entries into 1k buckets: some overflow
+    tt = rng.integers(0, cfg.maxtime, (B, L)).astype(np.int32)
+    hh = rng.integers(0, cfg.n_buckets, (B, L)).astype(np.int32)
+    vv = rng.random((B, L)) < 0.9
+    ids = np.arange(B, dtype=np.int32)
+    table, counts = DT.store_batch(table, counts, jnp.asarray(tt),
+                                   jnp.asarray(hh), jnp.asarray(vv),
+                                   jnp.asarray(ids), cfg)
+
+    di = object.__new__(DeviceIngest)
+    di.cfg, di.table, di.counts, di.mesh = cfg, table, counts, None
+    di.ht = HashTable()
+    di.finalize()
+
+    full = np.asarray(table)
+    want = DT.join_wide(full) if cfg.wide else full
+    np.testing.assert_array_equal(di.ht.table, want)
+    np.testing.assert_array_equal(di.ht.counts, np.asarray(counts))
+    # sanity: this fixture actually took the compact path
+    occ = np.minimum(np.asarray(counts), cfg.depth)
+    S = P.next_pow2(max(1, int(occ.sum())), 1)
+    assert S * 4 <= cfg.n_buckets * P.next_pow2(
+        int(min(cfg.depth, np.asarray(counts).max())), 1)
